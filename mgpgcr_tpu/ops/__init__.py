@@ -1,0 +1,18 @@
+from mgpgcr_tpu.ops.base import LinearOperator, operator_dataclass
+from mgpgcr_tpu.ops.dense import DenseOperator
+from mgpgcr_tpu.ops.ell import ELLOperator
+from mgpgcr_tpu.ops.csr import CSRMatrix
+from mgpgcr_tpu.ops.coo import COOMatrix
+from mgpgcr_tpu.ops.bsr import BlockSparseOperator
+from mgpgcr_tpu.ops.dirac import DiracOperator
+
+__all__ = [
+    "LinearOperator",
+    "operator_dataclass",
+    "DenseOperator",
+    "ELLOperator",
+    "CSRMatrix",
+    "COOMatrix",
+    "BlockSparseOperator",
+    "DiracOperator",
+]

@@ -1,0 +1,168 @@
+"""Wilson--Dirac hopping operator: matrix-free stencil + explicit generator.
+
+The reference obtains its hopping matrix D from pre-parsed fixture files
+(conf5 .mtx configurations, Parse.cpp; the 8^4 one is a missing blob). This
+module replaces both roles TPU-natively:
+
+1. ``WilsonDiracOperator`` — a *matrix-free* nearest-neighbour stencil:
+   D psi(x) = sum_mu [ (1 - gamma_mu) U_mu(x) psi(x+mu)
+                     + (1 + gamma_mu) U_mu^dag(x-mu) psi(x-mu) ].
+   On TPU this is the speed-of-light formulation: neighbour access is
+   ``jnp.roll`` (which XLA shards into collective-permutes on a device
+   mesh — no gathers at all), colour multiplication is a batched 3x3
+   einsum, spin projection a batched 4x4 einsum.
+
+2. ``materialize_ell`` / ``random_links`` — explicit sparse assembly of the
+   same operator, generating fixtures of any lattice size (the synthetic
+   replacement for the reference's missing 8x8parsed.txt). In the Dirac
+   basis, (1 +- gamma_t) is diagonal with two zero entries, so every row has
+   exactly 3 + 3*12 = 39 nonzeros — matching the checked-in 4^4 fixture's
+   uniform 39 nnz/row (data/sample_matrix/4x4parsed.txt header).
+
+Gamma conventions (Dirac basis — the one implied by the reference's gamma5
+spinor swap 0<->2, 1<->3, Fields.h:311-338):
+  gamma_t = diag(1, 1, -1, -1),  gamma_i = [[0, sigma_i], [-sigma_i, 0]],
+  gamma_5 = [[0, I], [I, 0]].
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mgpgcr_tpu.mesh import LatticeMesh
+from mgpgcr_tpu.ops.base import LinearOperator, operator_dataclass
+from mgpgcr_tpu.ops.csr import CSRMatrix
+from mgpgcr_tpu.ops.ell import ELLOperator
+
+# ---------------------------------------------------------------------------
+# gamma matrices (Dirac basis)
+# ---------------------------------------------------------------------------
+_S1 = np.array([[0, 1], [1, 0]], dtype=np.complex128)
+_S2 = np.array([[0, -1j], [1j, 0]], dtype=np.complex128)
+_S3 = np.array([[1, 0], [0, -1]], dtype=np.complex128)
+_I2 = np.eye(2, dtype=np.complex128)
+_Z2 = np.zeros((2, 2), dtype=np.complex128)
+
+
+def _blk(a, b, c, d):
+    return np.block([[a, b], [c, d]])
+
+
+GAMMA = np.stack(
+    [
+        _blk(_I2, _Z2, _Z2, -_I2),  # gamma_t
+        _blk(_Z2, _S1, -_S1, _Z2),  # gamma_z
+        _blk(_Z2, _S2, -_S2, _Z2),  # gamma_y
+        _blk(_Z2, _S3, -_S3, _Z2),  # gamma_x
+    ]
+)
+GAMMA5 = _blk(_Z2, _I2, _I2, _Z2)  # spinor swap 0<->2, 1<->3
+
+# hopping spin projectors: P_minus[mu] = 1 - gamma_mu (forward),
+#                          P_plus[mu]  = 1 + gamma_mu (backward)
+P_MINUS = np.stack([np.eye(4) - GAMMA[mu] for mu in range(4)])
+P_PLUS = np.stack([np.eye(4) + GAMMA[mu] for mu in range(4)])
+
+
+def random_links(
+    key: jax.Array, mesh: LatticeMesh, dtype=jnp.complex128
+) -> jnp.ndarray:
+    """Haar-random SU(3) gauge links, shape (4, T, Z, Y, X, 3, 3)."""
+    st = mesh.spacetime_dims
+    shape = (4, *st, 3, 3)
+    kr, ki = jax.random.split(key)
+    z = (
+        jax.random.normal(kr, shape) + 1j * jax.random.normal(ki, shape)
+    ).astype(dtype)
+    q, r = jnp.linalg.qr(z)
+    # fix phases so the distribution is Haar, then project U(3) -> SU(3)
+    d = jnp.diagonal(r, axis1=-2, axis2=-1)
+    q = q * (d / jnp.abs(d))[..., None, :]
+    det = jnp.linalg.det(q)
+    return q / det[..., None, None] ** (1.0 / 3.0)
+
+
+def unit_links(mesh: LatticeMesh, dtype=jnp.complex128) -> jnp.ndarray:
+    """Free-field (identity) links — useful for exact-spectrum sanity tests."""
+    st = mesh.spacetime_dims
+    eye = jnp.eye(3, dtype=dtype)
+    return jnp.broadcast_to(eye, (4, *st, 3, 3))
+
+
+@operator_dataclass(meta=("mesh",))
+class WilsonDiracOperator(LinearOperator):
+    """Matrix-free hopping operator D (no diagonal; pair with DiracOperator
+    for A = I - kD, matching the reference's fixture convention)."""
+
+    links: jnp.ndarray  # (4, T, Z, Y, X, 3, 3)
+    mesh: LatticeMesh
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (self.mesh.size, self.mesh.size)
+
+    def apply(self, x: jnp.ndarray) -> jnp.ndarray:
+        psi = self.mesh.to_lattice(x)  # (..., T, Z, Y, X, 4, 3)
+        dt = psi.dtype
+        out = jnp.zeros_like(psi)
+        for mu in range(4):
+            axis = psi.ndim - 6 + mu
+            u = self.links[mu].astype(dt)
+            pm = jnp.asarray(P_MINUS[mu], dt)
+            pp = jnp.asarray(P_PLUS[mu], dt)
+
+            # forward: (1 - gamma_mu) U_mu(x) psi(x + mu)
+            fwd = jnp.roll(psi, -1, axis=axis)
+            fwd = jnp.einsum("tzyxab,...tzyxsb->...tzyxsa", u, fwd)
+            out = out + jnp.einsum("st,...tc->...sc", pm, fwd)
+
+            # backward: (1 + gamma_mu) U_mu^dag(x - mu) psi(x - mu)
+            udag = jnp.roll(jnp.conj(jnp.swapaxes(u, -1, -2)), 1, axis=mu)
+            bwd = jnp.roll(psi, 1, axis=axis)
+            bwd = jnp.einsum("tzyxab,...tzyxsb->...tzyxsa", udag, bwd)
+            out = out + jnp.einsum("st,...tc->...sc", pp, bwd)
+        return self.mesh.to_flat(out)
+
+
+# ---------------------------------------------------------------------------
+# explicit assembly (synthetic fixture generator)
+# ---------------------------------------------------------------------------
+def materialize_csr(links, mesh: LatticeMesh) -> CSRMatrix:
+    """Assemble the stencil into an explicit CSR matrix (host-side).
+
+    Produces the reference fixtures' layout: row/col index =
+    ((site * 4) + spinor) * 3 + colour with sites row-major in (t,z,y,x)."""
+    links = np.asarray(links)
+    st = mesh.spacetime_dims
+    n_sites = mesh.n_sites
+    site_idx = np.arange(n_sites).reshape(st)
+
+    rows_all, cols_all, vals_all = [], [], []
+    for mu in range(4):
+        nbr_fwd = np.roll(site_idx, -1, axis=mu).ravel()
+        nbr_bwd = np.roll(site_idx, 1, axis=mu).ravel()
+        u = links[mu].reshape(n_sites, 3, 3)
+        udag_shift = np.roll(links[mu], 1, axis=mu).reshape(n_sites, 3, 3)
+        udag_shift = udag_shift.conj().transpose(0, 2, 1)
+        for proj, nbr, umat in (
+            (P_MINUS[mu], nbr_fwd, u),
+            (P_PLUS[mu], nbr_bwd, udag_shift),
+        ):
+            ss, tt = np.nonzero(np.abs(proj) > 1e-14)
+            for s, t in zip(ss, tt):
+                coeff = proj[s, t]
+                for c in range(3):
+                    for b in range(3):
+                        rows_all.append(np.arange(n_sites) * 12 + s * 3 + c)
+                        cols_all.append(nbr * 12 + t * 3 + b)
+                        vals_all.append(coeff * umat[:, c, b])
+    rows = np.concatenate(rows_all)
+    cols = np.concatenate(cols_all)
+    vals = np.concatenate(vals_all)
+    return CSRMatrix.from_triplets(rows, cols, vals, (mesh.size, mesh.size))
+
+
+def materialize_ell(links, mesh: LatticeMesh, dtype=None) -> ELLOperator:
+    return materialize_csr(links, mesh).to_ell(dtype=dtype)

@@ -1,0 +1,229 @@
+"""Two-level adaptive (smoothed-aggregation) multigrid preconditioner.
+
+TPU-native re-design of the reference's ``MG<T>`` (MG.h:20-526):
+
+Setup (reference ``MG::initialise``, MG.h:132-285):
+1. near-null vectors by inverse power iteration (MG.h:139-143);
+2. chirality-preserving doubling phi_± = (1 ± gamma_5) phi / 2
+   (``vec_double``, MG.h:146-149, 317-345);
+3. 4-D spacetime blocking — here a reshape, not an index map (MG.h:155);
+4. per-block orthonormalisation — batched QR over (n_blocks, block_len, ne)
+   on the MXU instead of serial Gram--Schmidt (MG.h:190-198);
+5. Galerkin coarse operator C = P^H A P assembled per block column with the
+   *correct* neighbour bases (the reference's 9-point-stencil assembly,
+   MG.h:203-278, has the -mu basis bug Q3 and hardcodes 14 OpenMP threads);
+   stored dense (MXU matvec) or block-ELL (``BlockSparseOperator``).
+
+Apply (reference ``MG::solve``, MG.h:406-430) — as a *correct* V-cycle:
+pre-smooth, restricted-residual coarse solve, prolongated correction,
+post-smooth on the corrected iterate. (The reference discards the coarse
+correction by overwriting x with a fresh smoother solve, quirk Q2, and its
+``operator()`` returns uninitialised memory, quirk Q1 — both fixed, per the
+report's intended Algorithm 3.)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mgpgcr_tpu import fields
+from mgpgcr_tpu.mesh import BlockMap, LatticeMesh
+from mgpgcr_tpu.ops.base import LinearOperator
+from mgpgcr_tpu.ops.bsr import BlockSparseOperator
+from mgpgcr_tpu.ops.dense import DenseOperator
+from mgpgcr_tpu.solvers.gcr import gcr_solve
+from mgpgcr_tpu.solvers.params import GCRParams, MGParams
+from mgpgcr_tpu.solvers.power import inverse_power_vectors
+
+
+# ---------------------------------------------------------------------------
+# grid-transfer operators
+# ---------------------------------------------------------------------------
+def restrict(q: jnp.ndarray, block_map: BlockMap, x: jnp.ndarray) -> jnp.ndarray:
+    """R x = P^H x: (..., N) -> (..., nb * ne) (MG::restrict, MG.h:367-383).
+
+    q: (nb, block_len, ne) orthonormal per-block basis."""
+    xb = block_map.to_blocked(x)  # (..., nb, bl)
+    rc = jnp.einsum("bke,...bk->...be", jnp.conj(q), xb)
+    return rc.reshape(rc.shape[:-2] + (q.shape[0] * q.shape[2],))
+
+
+def prolong(q: jnp.ndarray, block_map: BlockMap, xc: jnp.ndarray) -> jnp.ndarray:
+    """P xc: (..., nb * ne) -> (..., N) (MG::expand, MG.h:348-364)."""
+    nb, _, ne = q.shape
+    xcb = xc.reshape(xc.shape[:-1] + (nb, ne))
+    xb = jnp.einsum("bke,...be->...bk", q, xcb)
+    return block_map.from_blocked(xb)
+
+
+# ---------------------------------------------------------------------------
+# preconditioner
+# ---------------------------------------------------------------------------
+@dataclasses.dataclass(frozen=True)
+class MGPreconditioner(LinearOperator):
+    a: LinearOperator  # fine operator
+    q: jnp.ndarray  # (nb, block_len, ne) per-block orthonormal basis
+    coarse: LinearOperator  # Galerkin coarse operator (dense or block-ELL)
+    block_map: BlockMap
+    params: MGParams
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return self.a.shape
+
+    def restrict(self, x: jnp.ndarray) -> jnp.ndarray:
+        return restrict(self.q, self.block_map, x)
+
+    def prolong(self, xc: jnp.ndarray) -> jnp.ndarray:
+        return prolong(self.q, self.block_map, xc)
+
+    def _smooth(self, rhs: jnp.ndarray, x: jnp.ndarray, n: int) -> jnp.ndarray:
+        sp = self.params.smoother_gcr
+        if sp is None or n == 0:
+            return x
+        for _ in range(n):
+            r = rhs - self.a.apply(x)
+            x = x + gcr_solve(self.a, r, sp).x
+        return x
+
+    def apply(self, r: jnp.ndarray) -> jnp.ndarray:
+        """One V(pre, post)-cycle approximating A^{-1} r; a deterministic
+        linear map suitable as a flexible-GCR preconditioner."""
+        x = jnp.zeros_like(r)
+        x = self._smooth(r, x, self.params.n_pre_smooth)
+        res = r - self.a.apply(x) if self.params.smoother_gcr is not None else r
+        rc = self.restrict(res)
+        ec = gcr_solve(self.coarse, rc, self.params.coarse_gcr).x
+        x = x + self.params.correction_damping * self.prolong(ec)
+        x = self._smooth(r, x, self.params.n_post_smooth)
+        return x
+
+    def as_preconditioner(self) -> Callable[[jnp.ndarray], jnp.ndarray]:
+        return self.apply
+
+
+jax.tree_util.register_dataclass(
+    MGPreconditioner,
+    data_fields=["a", "q", "coarse"],
+    meta_fields=["block_map", "params"],
+)
+
+
+# ---------------------------------------------------------------------------
+# setup
+# ---------------------------------------------------------------------------
+def chiral_double(vecs: jnp.ndarray, mesh: LatticeMesh) -> jnp.ndarray:
+    """(n, N) -> (2n, N): [P_+ v_i ...; P_- v_i ...] (MG.h:317-345)."""
+    plus = fields.chiral_project(vecs, +1, mesh)
+    minus = fields.chiral_project(vecs, -1, mesh)
+    return jnp.concatenate([plus, minus], axis=0)
+
+
+def block_orthonormalize(
+    vecs: jnp.ndarray, block_map: BlockMap
+) -> jnp.ndarray:
+    """Per-block orthonormal basis from (ne, N) vectors -> (nb, bl, ne).
+
+    Batched thin-QR on the MXU; replaces the reference's per-block serial
+    Gram--Schmidt (MG.h:190-198) — same column span, hence an equivalent
+    coarse space."""
+    blocked = block_map.to_blocked(vecs)  # (ne, nb, bl)
+    mats = jnp.transpose(blocked, (1, 2, 0))  # (nb, bl, ne)
+    if mats.shape[1] < mats.shape[2]:
+        raise ValueError("block_len smaller than number of coarse vectors")
+    q, _ = jnp.linalg.qr(mats, mode="reduced")
+    return q
+
+
+def galerkin_coarse_matrix(
+    a: LinearOperator, q: jnp.ndarray, block_map: BlockMap
+) -> jnp.ndarray:
+    """Dense Galerkin coarse matrix C = P^H A P, (nc, nc).
+
+    Assembled one block-column-group at a time: the ne fine basis vectors of
+    block b are applied through A *as one stacked SpMM*, then restricted
+    against every block's basis in one einsum. This replaces the reference's
+    quadruple OpenMP loop of 9 * nb * ne^2 individual fine SpMVs + dots
+    (MG.h:206-278) and is exact (no 9-point truncation, no quirk-Q3 basis
+    mixup); locality of A makes C block-9-point-sparse automatically."""
+    nb, bl, ne = q.shape
+    nc = nb * ne
+    cols = []
+    for b in range(nb):
+        basis_blocked = jnp.zeros((ne, nb, bl), q.dtype)
+        basis_blocked = basis_blocked.at[:, b, :].set(q[b].T)
+        basis = block_map.from_blocked(basis_blocked)  # (ne, N)
+        ab = jax.vmap(a.apply)(basis)  # (ne, N)
+        cols.append(restrict(q, block_map, ab).T)  # (nc, ne)
+    return jnp.concatenate(cols, axis=1)  # (nc, nc)
+
+
+def coarse_to_block_ell(
+    c: jnp.ndarray, block_map: BlockMap, ne: int
+) -> BlockSparseOperator:
+    """Extract the 9-point block structure of a dense Galerkin matrix into
+    block-ELL form (the reference's HierarchicalSparse layout,
+    HierarchicalSparse.h:22-48, with a uniform K=9 stencil)."""
+    table = jnp.asarray(block_map.neighbor_table())  # (nb, 9)
+    nb = table.shape[0]
+    cb = c.reshape(nb, ne, nb, ne)
+    # blocks[r, k] = C[r-block rows, table[r, k]-block cols]
+    blocks = jnp.transpose(cb, (0, 2, 1, 3))[
+        jnp.arange(nb)[:, None], table
+    ]  # (nb, 9, ne, ne)
+    # zero duplicate stencil entries (small lattices where +mu == -mu or
+    # neighbour == self) so each coupling is counted once
+    k = table.shape[1]
+    dup = np.zeros((nb, k), dtype=bool)
+    tab_np = block_map.neighbor_table()
+    for r in range(nb):
+        seen = set()
+        for j in range(k):
+            ccol = int(tab_np[r, j])
+            if ccol in seen:
+                dup[r, j] = True
+            seen.add(ccol)
+    blocks = jnp.where(jnp.asarray(dup)[:, :, None, None], 0.0, blocks)
+    return BlockSparseOperator(blocks, table.astype(jnp.int32))
+
+
+def setup_mg(
+    key: jax.Array,
+    a: LinearOperator,
+    mesh: LatticeMesh,
+    params: MGParams,
+) -> MGPreconditioner:
+    """Full adaptive-MG setup (reference MG::initialise, MG.h:132-285)."""
+    dtype = _operator_dtype(a)
+    vecs = inverse_power_vectors(
+        key,
+        a,
+        params.n_nullvecs,
+        mesh.size,
+        params.setup_gcr,
+        n_power_iters=params.setup_power_iters,
+        dtype=dtype,
+    )
+    doubled = chiral_double(vecs, mesh)  # (2n, N)
+    block_map = mesh.blocking(params.block)
+    q = block_orthonormalize(doubled, block_map)  # (nb, bl, ne)
+    c = galerkin_coarse_matrix(a, q, block_map)
+    if params.coarse_format == "bsr":
+        coarse = coarse_to_block_ell(c, block_map, params.n_coarse_per_block)
+    else:
+        coarse = DenseOperator(c)
+    return MGPreconditioner(
+        a=a, q=q, coarse=coarse, block_map=block_map, params=params
+    )
+
+
+def _operator_dtype(a) -> jnp.dtype:
+    for leaf in jax.tree_util.tree_leaves(a):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.complexfloating):
+            return leaf.dtype
+    return jnp.complex64

@@ -1,0 +1,72 @@
+"""Solver configuration dataclasses.
+
+Equivalent of the reference's ``SolverParam.h``: ``GCR_Param``
+(SolverParam.h:22-35) and ``MG_Param`` (SolverParam.h:38-59), as frozen
+(hashable, jit-static) dataclasses. Preconditioners are not stored here —
+they are jittable callables passed to the solver, reproducing the
+left/right ``Operator*`` hooks (SolverParam.h:13-14) functionally.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class GCRParams:
+    """Flexible-GCR controls.
+
+    restart: wipe stored directions every `restart` iterations (GCR.h:277-283).
+    truncation: keep only the last `truncation` directions (ring buffer,
+      GCR.h:286-287). Mutually exclusive with restart (asserted, GCR.h:165).
+    Stopping: relative residual ||r||/||rhs|| <= tol, or max_iter.
+    """
+
+    tol: float = 1e-13
+    max_iter: int = 100
+    restart: int = 0
+    truncation: int = 0
+
+    def __post_init__(self):
+        if self.restart and self.truncation:
+            raise ValueError(
+                "restart and truncation are mutually exclusive (GCR.h:165)"
+            )
+
+    @property
+    def storage_size(self) -> int:
+        if self.restart:
+            return self.restart
+        if self.truncation:
+            return self.truncation
+        return self.max_iter
+
+
+@dataclass(frozen=True)
+class MGParams:
+    """Two-level adaptive MG controls (MG_Param, SolverParam.h:38-59).
+
+    The reference's config of record (main.cpp:840-858): block 4^4,
+    n_eigen=10 (doubled to 20), eigen GCR restart 10 / 10 iters / tol 1e-8,
+    coarse GCR restart 10 / 50 iters / tol 1e-2, smoother off.
+    """
+
+    block: int = 4  # subblock_dim: spacetime block extent
+    n_nullvecs: int = 10  # n_eigen before chiral doubling
+    setup_gcr: GCRParams = field(
+        default_factory=lambda: GCRParams(tol=1e-8, max_iter=10, restart=10)
+    )
+    setup_power_iters: int = 10  # inverse-power iterations for vec 0 (MG.h:101-105)
+    coarse_gcr: GCRParams = field(
+        default_factory=lambda: GCRParams(tol=1e-2, max_iter=50, restart=10)
+    )
+    smoother_gcr: GCRParams | None = None  # None = smoother off
+    n_pre_smooth: int = 1
+    n_post_smooth: int = 1
+    coarse_format: str = "dense"  # "dense" (MXU matvec) or "bsr" (block-ELL)
+    correction_damping: float = 1.0  # reference hardcodes 0.1 (MG.h:426, quirk Q2)
+
+    @property
+    def n_coarse_per_block(self) -> int:
+        """ne = 2 * n_eigen after chiral doubling (MG.h:146-149)."""
+        return 2 * self.n_nullvecs
