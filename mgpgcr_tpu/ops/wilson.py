@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from mgpgcr_tpu import cplx
 from mgpgcr_tpu.mesh import LatticeMesh
 from mgpgcr_tpu.ops.base import LinearOperator, operator_dataclass
 from mgpgcr_tpu.ops.csr import CSRMatrix
@@ -91,6 +92,51 @@ def unit_links(mesh: LatticeMesh, dtype=jnp.complex128) -> jnp.ndarray:
     return jnp.broadcast_to(eye, (4, *st, 3, 3))
 
 
+def random_links_np(seed: int, mesh: LatticeMesh) -> np.ndarray:
+    """Haar-random SU(3) links, pure host-side numpy (complex128).
+
+    Same construction as ``random_links`` (QR of Ginibre + phase fix +
+    SU(3) projection), vectorised with numpy so no accelerator backend is
+    involved — TPU backends lack complex transfer/linalg kernels and
+    per-op dispatch through remote tunnels is slow.
+    """
+    rng = np.random.default_rng(seed)
+    st = mesh.spacetime_dims
+    shape = (4, *st, 3, 3)
+    z = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+    q, r = np.linalg.qr(z)
+    d = np.einsum("...ii->...i", r)
+    q = q * (d / np.abs(d))[..., None, :]
+    det = np.linalg.det(q)
+    return q / det[..., None, None] ** (1.0 / 3.0)
+
+
+def random_links_cf(key, mesh: LatticeMesh, dtype=jnp.float32) -> cplx.CF:
+    """Haar-random SU(3) links as split re/im (the TPU representation).
+
+    ``key`` may be a jax PRNG key (its first word seeds numpy) or an int.
+    Only the final split re/im real pair crosses onto the accelerator.
+    """
+    if hasattr(key, "dtype"):
+        seed = int(np.asarray(jax.random.key_data(key)).ravel()[-1])
+    else:
+        seed = int(key)
+    links = random_links_np(seed, mesh)
+    return cplx.CF(
+        jnp.asarray(links.real.astype(np.float64), dtype),
+        jnp.asarray(links.imag.astype(np.float64), dtype),
+    )
+
+
+def _spin_proj(mat: np.ndarray, like, dt):
+    """The 4x4 spin projector as the same representation as ``like``."""
+    if cplx.is_cf(like):
+        return cplx.CF(
+            jnp.asarray(mat.real, dt), jnp.asarray(mat.imag, dt)
+        )
+    return jnp.asarray(mat, dt)
+
+
 @operator_dataclass(meta=("mesh",))
 class WilsonDiracOperator(LinearOperator):
     """Matrix-free hopping operator D (no diagonal; pair with DiracOperator
@@ -103,27 +149,30 @@ class WilsonDiracOperator(LinearOperator):
     def shape(self) -> tuple[int, int]:
         return (self.mesh.size, self.mesh.size)
 
-    def apply(self, x: jnp.ndarray) -> jnp.ndarray:
-        psi = self.mesh.to_lattice(x)  # (..., T, Z, Y, X, 4, 3)
-        dt = psi.dtype
-        out = jnp.zeros_like(psi)
+    def apply(self, x):
+        """Representation-generic: x may be a native complex array or a
+        split re/im ``cplx.CF`` pair (the TPU path), flat or lattice-shaped."""
+        flat = x.ndim < len(self.mesh.dims)
+        psi = self.mesh.to_lattice(x) if flat else x
+        dt = psi.dtype  # real dtype for CF, complex dtype otherwise
+        out = cplx.zeros_like(psi)
         for mu in range(4):
             axis = psi.ndim - 6 + mu
             u = self.links[mu].astype(dt)
-            pm = jnp.asarray(P_MINUS[mu], dt)
-            pp = jnp.asarray(P_PLUS[mu], dt)
+            pm = _spin_proj(P_MINUS[mu], psi, dt)
+            pp = _spin_proj(P_PLUS[mu], psi, dt)
 
             # forward: (1 - gamma_mu) U_mu(x) psi(x + mu)
-            fwd = jnp.roll(psi, -1, axis=axis)
-            fwd = jnp.einsum("tzyxab,...tzyxsb->...tzyxsa", u, fwd)
-            out = out + jnp.einsum("st,...tc->...sc", pm, fwd)
+            fwd = cplx.roll(psi, -1, axis)
+            fwd = cplx.einsum2("tzyxab,...tzyxsb->...tzyxsa", u, fwd)
+            out = out + cplx.einsum2("st,...tc->...sc", pm, fwd)
 
             # backward: (1 + gamma_mu) U_mu^dag(x - mu) psi(x - mu)
-            udag = jnp.roll(jnp.conj(jnp.swapaxes(u, -1, -2)), 1, axis=mu)
-            bwd = jnp.roll(psi, 1, axis=axis)
-            bwd = jnp.einsum("tzyxab,...tzyxsb->...tzyxsa", udag, bwd)
-            out = out + jnp.einsum("st,...tc->...sc", pp, bwd)
-        return self.mesh.to_flat(out)
+            udag = cplx.roll(cplx.swapaxes(cplx.conj(u), -1, -2), 1, mu)
+            bwd = cplx.roll(psi, 1, axis)
+            bwd = cplx.einsum2("tzyxab,...tzyxsb->...tzyxsa", udag, bwd)
+            out = out + cplx.einsum2("st,...tc->...sc", pp, bwd)
+        return self.mesh.to_flat(out) if flat else out
 
 
 # ---------------------------------------------------------------------------

@@ -3,10 +3,17 @@
 TPU-native re-design of the reference's ``GCR<T>::solve`` (GCR.h:159-302):
 the whole solve is a single ``lax.while_loop`` with a fixed-shape carry, so
 it jit-compiles once and runs entirely on device. Stored search directions
-live in stacked ``(S, N)`` arrays (the reference's ring buffer of Fields,
+live in stacked ``(S, ...)`` arrays (the reference's ring buffer of Fields,
 GCR.h:207-210, 286-287); the beta-correction loop (GCR.h:251-262) becomes
-two MXU matvecs against the stacked directions instead of a serial loop of
-dots/axpys.
+batched contractions against the stacked directions instead of a serial
+loop of dots/axpys.
+
+The solver is representation-generic via ``mgpgcr_tpu.cplx``: fields are
+either native complex jnp arrays (the complex128 CPU validation path) or
+split re/im ``cplx.CF`` pairs (the TPU path — TPUs have no complex
+registers, and this backend has no complex transfers), of any shape — flat
+``(N,)`` or lattice-shaped sharded ``(T,Z,Y,X,4,3)``; distributed solves
+reuse this exact code with sharded inputs (reductions become psums).
 
 Semantics preserved from the reference:
 - restart XOR truncation direction management (GCR.h:162-186, 277-287);
@@ -34,55 +41,55 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
+from mgpgcr_tpu import cplx
 from mgpgcr_tpu.ops.base import LinearOperator
 from mgpgcr_tpu.solvers.params import GCRParams
 from mgpgcr_tpu.solvers.result import SolveResult
 
-Preconditioner = Callable[[jnp.ndarray], jnp.ndarray]
+Preconditioner = Callable
 
 
-def _safe_div(num, den, real_dtype):
-    tiny = jnp.asarray(1e-300 if real_dtype == jnp.float64 else 1e-30, real_dtype)
-    return num / jnp.maximum(den, tiny).astype(num.dtype)
+def _tiny(rdtype):
+    return jnp.asarray(1e-300 if rdtype == jnp.float64 else 1e-30, rdtype)
+
+
+def _div_real(num, den, rdtype):
+    """num / den for complex-or-CF num and real den, guarded against 0."""
+    return cplx.scale_real(num, 1.0 / jnp.maximum(den, _tiny(rdtype)))
 
 
 def gcr_solve(
-    a: LinearOperator | Callable[[jnp.ndarray], jnp.ndarray],
-    rhs: jnp.ndarray,
+    a,
+    rhs,
     params: GCRParams,
     precond: Optional[Preconditioner] = None,
-    x0: Optional[jnp.ndarray] = None,
+    x0=None,
 ) -> SolveResult:
     """Solve A x = rhs with flexible GCR. Jit-compatible (params/precond
     static); nests cleanly inside other jitted solvers."""
     apply_a = a.apply if hasattr(a, "apply") else a
-    n = rhs.shape[-1]
-    cdtype = rhs.dtype
-    rdtype = jnp.zeros((), cdtype).real.dtype
+    rdtype = cplx.real_dtype(rhs)
     S = params.storage_size
     max_iter = params.max_iter
     restart = params.restart if params.restart else max_iter + 1
 
-    x = jnp.zeros_like(rhs) if x0 is None else x0
+    x = cplx.zeros_like(rhs) if x0 is None else x0
     r = rhs - apply_a(x) if x0 is not None else rhs
 
-    rhs_norm2 = jnp.sum(jnp.abs(rhs) ** 2).astype(rdtype)
-    # guard rhs == 0: declare converged immediately via rel-res 0
+    rhs_norm2 = cplx.abs2_sum(rhs).astype(rdtype)
     rhs_norm2_safe = jnp.maximum(rhs_norm2, jnp.asarray(0, rdtype))
 
     z = precond(r) if precond is not None else r
     p = z
     ap = apply_a(p)
 
-    ps = jnp.zeros((S, n), cdtype).at[0].set(p)
-    aps = jnp.zeros((S, n), cdtype).at[0].set(ap)
-    ap_norms = jnp.zeros((S,), rdtype).at[0].set(
-        jnp.sum(jnp.abs(ap) ** 2).astype(rdtype)
-    )
+    ps = cplx.stack_zeros(S, p).at[0].set(p)
+    aps = cplx.stack_zeros(S, ap).at[0].set(ap)
+    ap_norms = jnp.zeros((S,), rdtype).at[0].set(cplx.abs2_sum(ap).astype(rdtype))
 
-    r2_0 = jnp.sum(jnp.abs(r) ** 2).astype(rdtype)
+    r2_0 = cplx.abs2_sum(r).astype(rdtype)
     hist = jnp.full((max_iter + 1,), jnp.nan, rdtype)
-    hist = hist.at[0].set(jnp.sqrt(_safe_div(r2_0, rhs_norm2_safe, rdtype)))
+    hist = hist.at[0].set(jnp.sqrt(r2_0 / jnp.maximum(rhs_norm2_safe, _tiny(rdtype))))
 
     tol2 = jnp.asarray(params.tol**2, rdtype)
 
@@ -95,38 +102,42 @@ def gcr_solve(
         it = it + 1
         count = count + 1
 
-        ap2 = jnp.sum(jnp.abs(ap) ** 2).astype(rdtype)
-        alpha = _safe_div(jnp.vdot(ap, r), ap2, rdtype)
+        ap2 = cplx.abs2_sum(ap).astype(rdtype)
+        alpha = _div_real(cplx.vdot(ap, r), ap2, rdtype)
         x = x + alpha * p
         r = r - alpha * ap
-        r2 = jnp.sum(jnp.abs(r) ** 2).astype(rdtype)
-        hist = hist.at[it].set(jnp.sqrt(_safe_div(r2, rhs_norm2_safe, rdtype)))
+        r2 = cplx.abs2_sum(r).astype(rdtype)
+        hist = hist.at[it].set(
+            jnp.sqrt(r2 / jnp.maximum(rhs_norm2_safe, _tiny(rdtype)))
+        )
 
         z = precond(r) if precond is not None else r
         az = apply_a(z)
 
         # beta corrections against all stored directions at once:
         # beta_j = <Ap_j, Az> / ||Ap_j||^2, masked where the slot is empty.
-        raw = jnp.einsum("sn,n->s", jnp.conj(aps), az)
-        betas = jnp.where(
-            ap_norms > 0, _safe_div(raw, ap_norms, rdtype), jnp.zeros_like(raw)
+        raw = cplx.conj_contract_stack(aps, az)
+        betas = cplx.where(
+            ap_norms > 0,
+            _div_real(raw, ap_norms, rdtype),
+            cplx.zeros_like(raw),
         )
-        p = z - jnp.einsum("s,sn->n", betas, ps)
-        ap = az - jnp.einsum("s,sn->n", betas, aps)
+        p = z - cplx.weighted_stack_sum(betas, ps)
+        ap = az - cplx.weighted_stack_sum(betas, aps)
 
         # restart: wipe stored directions (GCR.h:277-283)
         do_restart = count % restart == 0
         count = jnp.where(do_restart, 0, count)
-        wipe = jnp.where(do_restart, jnp.zeros((), cdtype), jnp.ones((), cdtype))
-        ps = ps * wipe
-        aps = aps * wipe
-        ap_norms = ap_norms * jnp.abs(wipe).astype(rdtype)
+        wipe = jnp.where(do_restart, 0.0, 1.0).astype(rdtype)
+        ps = cplx.scale_real(ps, wipe)
+        aps = cplx.scale_real(aps, wipe)
+        ap_norms = ap_norms * wipe
 
         # store current direction in ring slot (GCR.h:286-287)
         slot = count % S
         ps = ps.at[slot].set(p)
         aps = aps.at[slot].set(ap)
-        ap_norms = ap_norms.at[slot].set(jnp.sum(jnp.abs(ap) ** 2).astype(rdtype))
+        ap_norms = ap_norms.at[slot].set(cplx.abs2_sum(ap).astype(rdtype))
 
         return (x, r, p, ap, ps, aps, ap_norms, count, it, r2, hist)
 
@@ -147,7 +158,7 @@ def gcr_solve(
         cond, body, init
     )
 
-    final_rel = jnp.sqrt(_safe_div(r2, rhs_norm2_safe, rdtype))
+    final_rel = jnp.sqrt(r2 / jnp.maximum(rhs_norm2_safe, _tiny(rdtype)))
     converged = r2 <= tol2 * rhs_norm2
     return SolveResult(
         x=x,
@@ -168,10 +179,10 @@ class GCRSolver:
     a: LinearOperator
     params: GCRParams
 
-    def solve(self, rhs: jnp.ndarray, x0=None, precond=None) -> SolveResult:
+    def solve(self, rhs, x0=None, precond=None) -> SolveResult:
         return gcr_solve(self.a, rhs, self.params, precond=precond, x0=x0)
 
-    def __call__(self, rhs: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, rhs):
         return self.solve(rhs).x
 
     def as_preconditioner(self) -> Preconditioner:
