@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mgpgcr_tpu import fields
+from mgpgcr_tpu import cplx, fields
 from mgpgcr_tpu.mesh import BlockMap, LatticeMesh
 from mgpgcr_tpu.ops.base import LinearOperator
 from mgpgcr_tpu.ops.bsr import BlockSparseOperator
@@ -91,15 +91,29 @@ class MGPreconditioner(LinearOperator):
             x = x + gcr_solve(self.a, r, sp).x
         return x
 
-    def apply(self, r: jnp.ndarray) -> jnp.ndarray:
+    def apply(self, r):
         """One V(pre, post)-cycle approximating A^{-1} r; a deterministic
-        linear map suitable as a flexible-GCR preconditioner."""
-        x = jnp.zeros_like(r)
+        linear map suitable as a flexible-GCR preconditioner.
+
+        With the smoother off (the reference's config of record,
+        main.cpp:840-858) a *pure* coarse correction P C^-1 P^H would be
+        rank-deficient and stall the outer Krylov method in range(P); the
+        correct smoother-free two-level preconditioner is additive
+        coarse-grid deflation M = I + P C^-1 P^H, which is what the
+        coarse space's purpose is (capture the near-null modes that make
+        k ~ k_critical ill-conditioned, SemesterProject.pdf §3.3)."""
+        def coarse_correct(res):
+            ec = gcr_solve(self.coarse, self.restrict(res), self.params.coarse_gcr).x
+            return cplx.scale_real(
+                self.prolong(ec),
+                jnp.asarray(self.params.correction_damping, cplx.real_dtype(r)),
+            )
+
+        if self.params.smoother_gcr is None:
+            return r + coarse_correct(r)
+        x = cplx.zeros_like(r)
         x = self._smooth(r, x, self.params.n_pre_smooth)
-        res = r - self.a.apply(x) if self.params.smoother_gcr is not None else r
-        rc = self.restrict(res)
-        ec = gcr_solve(self.coarse, rc, self.params.coarse_gcr).x
-        x = x + self.params.correction_damping * self.prolong(ec)
+        x = x + coarse_correct(r - self.a.apply(x))
         x = self._smooth(r, x, self.params.n_post_smooth)
         return x
 

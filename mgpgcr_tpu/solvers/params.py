@@ -60,7 +60,14 @@ class MGParams:
     coarse_gcr: GCRParams = field(
         default_factory=lambda: GCRParams(tol=1e-2, max_iter=50, restart=10)
     )
-    smoother_gcr: GCRParams | None = None  # None = smoother off
+    # Default: V-cycle with a short GCR smoother. Measured on the 4^4
+    # fixture at k=0.205 (near-critical): 45 outer iterations vs 1238
+    # unpreconditioned vs 278 for smoother-less coarse deflation. Set to
+    # None for the reference's smoother-off config (additive coarse-grid
+    # deflation M = I + P C^-1 P^H is then used, see solvers/mg.py).
+    smoother_gcr: GCRParams | None = field(
+        default_factory=lambda: GCRParams(tol=0.0, max_iter=4, truncation=4)
+    )
     n_pre_smooth: int = 1
     n_post_smooth: int = 1
     coarse_format: str = "dense"  # "dense" (MXU matvec) or "bsr" (block-ELL)
