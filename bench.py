@@ -4,16 +4,19 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 The hot kernel of the whole framework is the Wilson--Dirac hopping-operator
 application (the reference's CSR SpMV, Operator.h:331-346, costed at
-O(nnz) per GCR iteration — SemesterProject.pdf §2.2). Here it is the
-matrix-free stencil (ops/wilson.py), whose effective nonzeros per lattice
-site are 39 x 12 = 468 — exactly the reference fixture's uniform 39 nnz/row
-(data/sample_matrix/4x4parsed.txt).
+O(nnz) per GCR iteration — SemesterProject.pdf §2.2). Here it is the fused
+Pallas Dslash kernel (ops/pallas/dslash.py) on a 32^4 lattice; effective
+nonzeros per site are 39 x 12 = 468, matching the reference fixture's
+uniform 39 nnz/row (data/sample_matrix/4x4parsed.txt).
 
 ``vs_baseline``: the reference publishes no throughput numbers
 (BASELINE.md), so the self-generated baseline is the kernel's
 speed-of-light: the HBM-bandwidth roofline for the minimal traffic of one
-application (links + field in, field out) on the local chip. A value of 0.7
-means 70% of roofline.
+application (links + field in, field out) on the local chip. A value of
+0.37 means 37% of roofline.
+
+Links are random complex (not SU(3)-projected) — identical memory/compute
+shape, skips a minutes-long host-side QR that would dominate bench time.
 """
 
 from __future__ import annotations
@@ -27,7 +30,7 @@ import jax.numpy as jnp
 
 from mgpgcr_tpu import cplx
 from mgpgcr_tpu.mesh import LatticeMesh
-from mgpgcr_tpu.ops.wilson import random_links_cf
+from mgpgcr_tpu.ops.pallas.dslash import PallasWilsonDirac
 from mgpgcr_tpu.ops.wilson_tpu import TpuWilsonDirac
 
 # HBM bandwidth (bytes/s) per chip by TPU generation; conservative defaults.
@@ -52,13 +55,16 @@ def _chip_bandwidth() -> float:
 
 def main() -> None:
     on_tpu = jax.devices()[0].platform == "tpu"
-    dims = (16, 16, 16, 16) if on_tpu else (8, 8, 8, 8)
+    dims = (32, 32, 32, 32) if on_tpu else (8, 8, 8, 8)
+    t, z, y, xx = dims
     mesh = LatticeMesh((*dims, 4, 3))
     rdtype = jnp.float32  # split re/im CF pairs: the TPU complex representation
 
-    key = jax.random.PRNGKey(0)
-    links = random_links_cf(key, mesh, dtype=rdtype)
-    op = TpuWilsonDirac.build(links, mesh)
+    links = cplx.random(jax.random.PRNGKey(0), (4, 3, 3, t, z, y * xx), rdtype)
+    if on_tpu:
+        op = PallasWilsonDirac(links, mesh)
+    else:  # CPU smoke path: XLA slab implementation, same layout/semantics
+        op = TpuWilsonDirac(links, mesh)
     psi = cplx.random(jax.random.PRNGKey(1), op.field_shape, rdtype)
 
     # op passed as a jit *argument* (closed-over links would be baked into
@@ -74,7 +80,7 @@ def main() -> None:
     out = apply_n(op, psi)
     float(jnp.sum(out.re))
 
-    reps = 10
+    reps = 5
     t0 = time.perf_counter()
     out = psi
     for _ in range(reps):
@@ -96,7 +102,8 @@ def main() -> None:
 
     print(
         f"# lattice {dims}, {n_apps} applications in {dt:.3f}s "
-        f"({n_apps / dt:.1f} apps/s), device={jax.devices()[0].device_kind}",
+        f"({n_apps / dt:.1f} apps/s, {dt / n_apps * 1e6:.0f} us/apply), "
+        f"device={jax.devices()[0].device_kind}",
         file=sys.stderr,
     )
     print(

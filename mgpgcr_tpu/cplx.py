@@ -306,6 +306,15 @@ def roll(x, shift, axis):
     return jnp.roll(x, shift, axis)
 
 
+def concatenate(xs, axis=0):
+    if xs and isinstance(xs[0], CF):
+        return CF(
+            jnp.concatenate([x.re for x in xs], axis=axis),
+            jnp.concatenate([x.im for x in xs], axis=axis),
+        )
+    return jnp.concatenate(xs, axis=axis)
+
+
 def stack(xs, axis=0):
     if xs and isinstance(xs[0], CF):
         return CF(

@@ -1,0 +1,329 @@
+"""Fused Wilson--Dirac (Dslash) Pallas TPU kernel.
+
+One kernel computes the full 8-hop stencil for a lattice block: the XLA
+slab implementation (ops/wilson_tpu.py) materialises each shifted field and
+per-hop product in HBM, while this kernel keeps the block and its one-plane
+halos resident in VMEM and writes only the final result — the
+minimal-traffic formulation the HBM roofline assumes.
+
+Grid and halos (TPU tiling constraint: the last two dims of every block
+must be (multiples of 8, multiples of 128) or equal the full array dims):
+- grid over T always; the t-halos are (.., 1, Z?, V) blocks, legal because
+  t sits outside the tiled minor dims;
+- if the whole (Z, Y*X) plane fits VMEM, z stays resident and z/y/x shifts
+  are in-block rolls (no z halo at all);
+- otherwise z is blocked in multiples of 8 and the z-halos are 8-plane
+  blocks of which the kernel uses a single boundary plane (the tiling
+  rule forbids 1-plane z blocks; 7/8 of halo bytes are discarded —
+  still ~20x less than re-reading neighbours' full blocks).
+
+Within a block, y/x shifts are static-slice rolls over the merged Y*X axis
+(exact: the full y-x plane is resident). The spin/colour arithmetic is
+shared with the XLA path (colour_mul / spin_combine / needed_spins from
+ops/wilson_tpu.py) on ``cplx.CF`` pairs — split re/im is mandatory in
+Pallas (no complex registers).
+
+Reference parity: computes exactly the hopping matrix D of
+Operator.h:105-574 / Parse.cpp fixtures; validated against
+``WilsonDiracOperator`` and ``TpuWilsonDirac`` in tests/test_pallas.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mgpgcr_tpu import cplx
+from mgpgcr_tpu.mesh import LatticeMesh
+from mgpgcr_tpu.ops.base import LinearOperator, operator_dataclass
+from mgpgcr_tpu.ops.wilson_tpu import (
+    _PM,
+    _PP,
+    colour_mul,
+    links_to_tpu,
+    needed_spins,
+    spin_combine,
+)
+
+_ZHALO = 8  # minimum legal z-block thickness for halo views
+
+
+def _roll_static(x, shift: int, axis: int):
+    """Static-shift periodic roll via slice+concat (Mosaic-safe)."""
+    size = x.shape[axis]
+    shift %= size
+    if shift == 0:
+        return x
+    hi = lax.slice_in_dim(x, size - shift, size, axis=axis)
+    lo = lax.slice_in_dim(x, 0, size - shift, axis=axis)
+    return lax.concatenate([hi, lo], dimension=axis)
+
+
+def _cf_roll(v: cplx.CF, shift: int, axis: int) -> cplx.CF:
+    return cplx.CF(_roll_static(v.re, shift, axis), _roll_static(v.im, shift, axis))
+
+
+def _cf_cat(parts, axis: int) -> cplx.CF:
+    return cplx.CF(
+        lax.concatenate([p.re for p in parts], dimension=axis),
+        lax.concatenate([p.im for p in parts], dimension=axis),
+    )
+
+
+def _cf_slice(v: cplx.CF, lo: int, hi: int, axis: int) -> cplx.CF:
+    return cplx.CF(
+        lax.slice_in_dim(v.re, lo, hi, axis=axis),
+        lax.slice_in_dim(v.im, lo, hi, axis=axis),
+    )
+
+
+def _dslash_kernel(*refs, y: int, xx: int, z_blocked: bool):
+    """refs layout (re/im pairs):
+    psi_c, psi_tp, psi_tm, u_c, ut_m [, psi_zp, psi_zm, uz_m], out."""
+    it = iter(range(len(refs) - 2))
+
+    def nxt():
+        i = next(it)
+        return cplx.CF(refs[2 * i][...], refs[2 * i + 1][...])
+
+    psi = nxt()      # (4, 3, TB, ZB, V)
+    psi_tp = nxt()   # (4, 3, 1, ZB, V)
+    psi_tm = nxt()   # (4, 3, 1, ZB, V)
+    u = nxt()        # (4, 3, 3, TB, ZB, V)
+    ut_m = nxt()     # (1, 3, 3, 1, ZB, V)
+    ut_m = ut_m[0]
+    if z_blocked:
+        psi_zp = nxt()  # (4, 3, TB, _ZHALO, V) — plane 0 is z = block_end
+        psi_zm = nxt()  # (4, 3, TB, _ZHALO, V) — plane -1 is z = block_start-1
+        uz_m = nxt()    # (1, 3, 3, TB, _ZHALO, V) — plane -1 used
+        psi_zp = _cf_slice(psi_zp, 0, 1, 3)
+        psi_zm = _cf_slice(psi_zm, _ZHALO - 1, _ZHALO, 3)
+        uz_m = _cf_slice(uz_m[0], _ZHALO - 1, _ZHALO, 3)
+    out_re, out_im = refs[-2], refs[-1]
+
+    # x-coordinate masks over the merged Y*X axis, from iota (no big
+    # array constants in the Mosaic program)
+    v = out_re.shape[-1]
+    xcoord = lax.broadcasted_iota(jnp.int32, (1, 1, 1, v), 3) % xx
+    mask_last = xcoord == xx - 1
+    mask_first = xcoord == 0
+
+    def slab_where(mask, a: cplx.CF, b: cplx.CF) -> cplx.CF:
+        return cplx.CF(jnp.where(mask, a.re, b.re), jnp.where(mask, a.im, b.im))
+
+    def shift_local(vv: cplx.CF, mu: int, fwd: bool) -> cplx.CF:
+        """z (when resident) / y / x shifts on a (3, TB, ZB, V) slab."""
+        if mu == 1:
+            return _cf_roll(vv, -1 if fwd else 1, 2)
+        ax = 3
+        if mu == 2:
+            return _cf_roll(vv, -xx if fwd else xx, ax)
+        if fwd:
+            return slab_where(
+                mask_last, _cf_roll(vv, xx - 1, ax), _cf_roll(vv, -1, ax)
+            )
+        return slab_where(
+            mask_first, _cf_roll(vv, -(xx - 1), ax), _cf_roll(vv, 1, ax)
+        )
+
+    out = [None] * 4
+    for mu in range(4):
+        pm, pp = _PM[mu], _PP[mu]
+        nf, nb = needed_spins(pm), needed_spins(pp)
+        u_mu = u[mu]  # (3, 3, TB, ZB, V)
+
+        # ---- forward hop: (1 - gamma_mu) U(x) psi(x + mu) ----
+        # slab axes: (colour 0, t 1, z 2, v 3)
+        if mu == 0:
+            tb_ = psi.shape[2]
+            shifted = [
+                psi_tp[t] if tb_ == 1
+                else _cf_cat([_cf_slice(psi[t], 1, tb_, 1), psi_tp[t]], 1)
+                for t in nf
+            ]
+        elif mu == 1 and z_blocked:
+            zb_ = psi.shape[3]
+            shifted = [
+                psi_zp[t] if zb_ == 1
+                else _cf_cat([_cf_slice(psi[t], 1, zb_, 2), psi_zp[t]], 2)
+                for t in nf
+            ]
+        else:
+            shifted = [shift_local(psi[t], mu, True) for t in nf]
+        uh = colour_mul(u_mu, shifted, dagger=False)
+        out = spin_combine(pm, nf, uh, out)
+
+        # ---- backward hop: (1 + gamma_mu) U^dag(x-mu) psi(x-mu)
+        #                  = (1 + gamma_mu) shift_bwd(U^dag psi) ----
+        w = colour_mul(u_mu, [psi[t] for t in nb], dagger=True)
+        if mu == 0:
+            w_halo = colour_mul(ut_m, [psi_tm[t] for t in nb], dagger=True)
+            w = [
+                wh if wc.shape[1] == 1
+                else _cf_cat([wh, _cf_slice(wc, 0, wc.shape[1] - 1, 1)], 1)
+                for wh, wc in zip(w_halo, w)
+            ]
+        elif mu == 1 and z_blocked:
+            w_halo = colour_mul(uz_m, [psi_zm[t] for t in nb], dagger=True)
+            w = [
+                wh if wc.shape[2] == 1
+                else _cf_cat([wh, _cf_slice(wc, 0, wc.shape[2] - 1, 2)], 2)
+                for wh, wc in zip(w_halo, w)
+            ]
+        else:
+            w = [shift_local(wt, mu, False) for wt in w]
+        out = spin_combine(pp, nb, w, out)
+
+    res = cplx.stack(out, axis=0)
+    out_re[...] = res.re
+    out_im[...] = res.im
+
+
+def _pick_block(t: int, z: int, v: int, itemsize: int = 4) -> tuple[int, int]:
+    """(TB, ZB) keeping the kernel working set in a ~6 MB VMEM budget.
+    Prefers z fully resident (no z halo); z blocks must be multiples of 8."""
+    # measured on v5e (16^4/32^4 scans): ~32K sites is the largest block the
+    # compiler accepts double-buffered under the raised vmem limit; at least
+    # ~8 grid cells are needed to pipeline HBM loads behind compute
+    max_sites = max(32768, v)
+    zb = z
+    while zb > 8 and zb % 2 == 0 and zb // 2 % 8 == 0 and zb * v > max_sites:
+        zb //= 2
+    tb = 1
+    while (
+        tb * 2 <= t
+        and t % (tb * 2) == 0
+        and tb * 2 * zb * v <= max_sites
+        and (t // (tb * 2)) * (z // zb) >= 8
+    ):
+        tb *= 2
+    return tb, zb
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "tb", "zb", "interpret"))
+def dslash_apply(
+    links: cplx.CF,
+    psi: cplx.CF,
+    mesh: LatticeMesh,
+    tb: int | None = None,
+    zb: int | None = None,
+    interpret: bool = False,
+) -> cplx.CF:
+    """D psi via the fused kernel. links: (4,3,3,T,Z,V) CF in TPU layout;
+    psi: (4,3,T,Z,V) CF."""
+    t, z, y, xx = mesh.spacetime_dims
+    v = y * xx
+    tb0, zb0 = _pick_block(t, z, v)
+    tb = tb if tb is not None else tb0
+    zb = zb if zb is not None else zb0
+    assert t % tb == 0 and z % zb == 0
+    z_blocked = zb != z
+    if z_blocked:
+        assert zb % _ZHALO == 0, "z blocks must be multiples of 8 (TPU tiling)"
+    nt, nz = t // tb, z // zb
+
+    f32 = psi.re.dtype
+    grid = (nt, nz)
+
+    def vspec(shape, index_map):
+        return pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)
+
+    specs = [
+        # psi center + t halos (t is outside the tiled minor dims: 1-plane ok)
+        vspec((4, 3, tb, zb, v), lambda i, j: (0, 0, i, j, 0)),
+        vspec((4, 3, 1, zb, v), lambda i, j: (0, 0, ((i + 1) % nt) * tb, j, 0)),
+        vspec((4, 3, 1, zb, v), lambda i, j: (0, 0, (i * tb - 1) % t, j, 0)),
+        # links center + U_t at t-1
+        vspec((4, 3, 3, tb, zb, v), lambda i, j: (0, 0, 0, i, j, 0)),
+        vspec((1, 3, 3, 1, zb, v), lambda i, j: (0, 0, 0, (i * tb - 1) % t, j, 0)),
+    ]
+    if z_blocked:
+        h = _ZHALO
+        specs += [
+            # z halos: 8-thick legal blocks; kernel uses one boundary plane
+            vspec(
+                (4, 3, tb, h, v),
+                lambda i, j: (0, 0, i, ((j + 1) % nz) * zb // h, 0),
+            ),
+            vspec(
+                (4, 3, tb, h, v),
+                lambda i, j: (0, 0, i, ((j * zb - h) % z) // h, 0),
+            ),
+            vspec(
+                (1, 3, 3, tb, h, v),
+                lambda i, j: (1, 0, 0, i, ((j * zb - h) % z) // h, 0),
+            ),
+        ]
+    out_spec = vspec((4, 3, tb, zb, v), lambda i, j: (0, 0, i, j, 0))
+
+    in_specs = []
+    for s in specs:
+        in_specs += [s, s]
+
+    args = [psi, psi, psi, links, links]
+    if z_blocked:
+        args += [psi, psi, links]
+    flat_args = []
+    for a in args:
+        flat_args += [a.re, a.im]
+
+    kernel = functools.partial(_dslash_kernel, y=y, xx=xx, z_blocked=z_blocked)
+    kwargs = {}
+    if not interpret:
+        # large lattices: the 8-input double-buffered window exceeds the
+        # default 16 MB scoped-vmem budget; v5e+ have headroom above it
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
+    out_re, out_im = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct(psi.re.shape, f32),
+            jax.ShapeDtypeStruct(psi.re.shape, f32),
+        ),
+        interpret=interpret,
+        **kwargs,
+    )(*flat_args)
+    return cplx.CF(out_re, out_im)
+
+
+@operator_dataclass(meta=("mesh", "tb", "zb", "interpret"))
+class PallasWilsonDirac(LinearOperator):
+    """Drop-in replacement for ``TpuWilsonDirac`` backed by the fused
+    kernel; same field layout (4, 3, T, Z, Y*X), same CF representation."""
+
+    links: cplx.CF  # (4, 3, 3, T, Z, V)
+    mesh: LatticeMesh
+    tb: int | None = None
+    zb: int | None = None
+    interpret: bool = False
+
+    @staticmethod
+    def build(
+        links_canonical, mesh: LatticeMesh, tb=None, zb=None, interpret=False
+    ) -> "PallasWilsonDirac":
+        return PallasWilsonDirac(
+            links_to_tpu(links_canonical, mesh), mesh, tb, zb, interpret
+        )
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (self.mesh.size, self.mesh.size)
+
+    @property
+    def field_shape(self) -> tuple[int, ...]:
+        t, z, y, xx = self.mesh.spacetime_dims
+        return (4, 3, t, z, y * xx)
+
+    def apply(self, psi: cplx.CF) -> cplx.CF:
+        return dslash_apply(
+            self.links, psi, self.mesh, self.tb, self.zb, self.interpret
+        )

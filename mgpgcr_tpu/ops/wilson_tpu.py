@@ -48,6 +48,45 @@ def sum_cf(terms):
     return acc
 
 
+def needed_spins(spin_mat: np.ndarray) -> list:
+    """Spin columns of 1 -+ gamma_mu with any nonzero entry — the only
+    components a hop reads (the t-projectors kill half: half-spinor trick)."""
+    return [t for t in range(4) if np.any(np.abs(spin_mat[:, t]) > 1e-14)]
+
+
+def colour_mul(u, slabs: list, dagger: bool) -> list:
+    """Per spin slab (3, ...): U . slab (or U^dag . slab), unrolled into
+    elementwise multiply-adds (dot_general with trailing batch dims would
+    relayout the whole field; see module docstring)."""
+    out = []
+    for ps in slabs:
+        rows = []
+        for a in range(3):
+            terms = [
+                (cplx.conj(u[b, a]) if dagger else u[a, b]) * ps[b]
+                for b in range(3)
+            ]
+            rows.append(sum_cf(terms))
+        out.append(cplx.stack(rows, axis=0))
+    return out
+
+
+def spin_combine(spin_mat, needed: list, slabs: list, out: list) -> list:
+    """out[s] += sum_j spin_mat[s, needed[j]] * slabs[j]; the gamma
+    coefficients are scalars (0, +-1, +-2, +-i) applied at trace time."""
+    eps = 1e-14
+    for s in range(4):
+        acc = out[s]
+        for t, slab in zip(needed, slabs):
+            c = complex(spin_mat[s, t])
+            if abs(c) < eps:
+                continue
+            term = slab if c == 1 else c * slab
+            acc = term if acc is None else acc + term
+        out[s] = acc
+    return out
+
+
 # ---------------------------------------------------------------------------
 # layout converters (host/test-path helpers; pure transpose+reshape)
 # ---------------------------------------------------------------------------
@@ -132,50 +171,14 @@ class TpuWilsonDirac(LinearOperator):
         return cplx.where(mask_first, cplx.roll(v, -(xx - 1), ax), cplx.roll(v, 1, ax))
 
     # ---- apply ---------------------------------------------------------
-    # The spin (4x4) and colour (3x3) contractions are unrolled into
-    # elementwise multiply-adds on (T, Z, Y*X)-shaped slabs. dot_general
-    # with trailing batch dims would force whole-field transposes into
-    # pad-heavy minor-axis layouts (measured ~400x excess HBM traffic);
-    # unrolled slab arithmetic stays in the native tiling and fuses on the
-    # VPU. Structural zeros of (1 -+ gamma_mu) are skipped at trace time:
-    # the t-direction projectors kill half the spin components — the
-    # half-spinor saving for free. Colour multiplication commutes with the
-    # site shift, so the backward hop shifts the *product* U^dag psi once
-    # instead of shifting links and field separately.
-
-    def _colour_mul(self, u, psi_spins: list, dagger: bool) -> list:
-        """[(3,T,Z,V)] spin slabs -> U . slab (or U^dag .) per slab."""
-        out = []
-        for ps in psi_spins:
-            rows = []
-            for a in range(3):
-                terms = [
-                    (cplx.conj(u[b, a]) if dagger else u[a, b]) * ps[b]
-                    for b in range(3)
-                ]
-                rows.append(sum_cf(terms))
-            out.append(cplx.stack(rows, axis=0))
-        return out
-
-    @staticmethod
-    def _spin_combine(spin_mat, needed: list, slabs: list, out: list) -> list:
-        """out[s] += sum_j spin_mat[s, needed[j]] * slabs[j] with scalar
-        gamma coefficients (0, +-1, +-2, +-i)."""
-        eps = 1e-14
-        for s in range(4):
-            acc = out[s]
-            for t, slab in zip(needed, slabs):
-                c = complex(spin_mat[s, t])
-                if abs(c) < eps:
-                    continue
-                term = slab if c == 1 else c * slab
-                acc = term if acc is None else acc + term
-            out[s] = acc
-        return out
+    # Shared unrolled spin/colour math lives in module-level colour_mul /
+    # spin_combine (also used by the fused Pallas kernel, ops/pallas/).
+    # Colour multiplication commutes with the site shift, so the backward
+    # hop shifts the *product* U^dag psi once instead of shifting links and
+    # field separately.
 
     def apply(self, psi):
         """D psi; psi: (4, 3, T, Z, Y*X) as cplx.CF (or complex array)."""
-        eps = 1e-14
         out = [None] * 4
         for mu in range(4):
             u = self.links[mu]  # (3, 3, T, Z, V)
@@ -183,17 +186,17 @@ class TpuWilsonDirac(LinearOperator):
 
             # forward hop: (1 - gamma_mu) U_mu(x) psi(x + mu):
             # shift only the spin slabs the projector keeps, then colour-mul
-            needed_f = [t for t in range(4) if np.any(np.abs(pm[:, t]) > eps)]
+            needed_f = needed_spins(pm)
             shifted = [self._shift(psi[t], mu, True) for t in needed_f]
-            uh = self._colour_mul(u, shifted, dagger=False)
-            out = self._spin_combine(pm, needed_f, uh, out)
+            uh = colour_mul(u, shifted, dagger=False)
+            out = spin_combine(pm, needed_f, uh, out)
 
             # backward hop: (1 + gamma_mu) U^dag(x - mu) psi(x - mu)
             #             = (1 + gamma_mu) shift_bwd(U^dag psi)
-            needed_b = [t for t in range(4) if np.any(np.abs(pp[:, t]) > eps)]
-            w = self._colour_mul(u, [psi[t] for t in needed_b], dagger=True)
+            needed_b = needed_spins(pp)
+            w = colour_mul(u, [psi[t] for t in needed_b], dagger=True)
             w = [self._shift(wt, mu, False) for wt in w]
-            out = self._spin_combine(pp, needed_b, w, out)
+            out = spin_combine(pp, needed_b, w, out)
         return cplx.stack(out, axis=0)
 
     # ---- convenience ----------------------------------------------------

