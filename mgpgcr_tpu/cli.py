@@ -1,0 +1,317 @@
+"""Command-line driver.
+
+The reference is driven by editing ``main()`` and recompiling
+(main.cpp:29-57). This CLI exposes the same experiments as subcommands:
+
+  solve   one system: ingested matrix or synthetic lattice, optional MG
+  ksweep  iterations-to-tolerance vs hopping parameter k — the reference's
+          ``k_critical_mg_precond`` / ``test_kcritical`` experiments
+          (main.cpp:696-741, 834-875)
+  parse   MatrixMarket .mtx -> reference CSR cache ("parsed.txt",
+          the reference's ``parse_data``, Parse.cpp:10-62)
+  info    backend/device report
+
+Run as ``python -m mgpgcr_tpu.cli <cmd> ...`` or with a JSON/TOML config
+via ``--config``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import sys
+
+import numpy as np
+
+
+def _setup_jax(dtype: str, platform: str | None):
+    import jax
+
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    if dtype in ("complex128", "cf64"):
+        jax.config.update("jax_enable_x64", True)
+    return jax
+
+
+def _infer_mesh(n: int):
+    """N = 12 T^4 for the Wilson fixtures (4 spinor x 3 colour)."""
+    from mgpgcr_tpu.mesh import LatticeMesh
+
+    sites = n // 12
+    t = round(sites ** 0.25)
+    if 12 * t**4 == n:
+        return LatticeMesh((t, t, t, t, 4, 3))
+    return None
+
+
+def build_problem(pc, jax):
+    """ProblemConfig -> (operator A = I - kD, mesh, rhs, to_host)."""
+    import jax.numpy as jnp
+
+    from mgpgcr_tpu import cplx, fields
+    from mgpgcr_tpu.mesh import LatticeMesh
+    from mgpgcr_tpu.ops.dirac import DiracOperator
+
+    cf = pc.dtype.startswith("cf")
+    rdt = {"cf32": jnp.float32, "cf64": jnp.float64}.get(pc.dtype)
+    cdt = {"complex128": jnp.complex128, "complex64": jnp.complex64}.get(pc.dtype)
+
+    if pc.matrix:
+        from mgpgcr_tpu.io import read_matrix_market, read_parsed_txt
+        from mgpgcr_tpu.io.npz_cache import load_ell_npz
+
+        if pc.matrix.endswith(".mtx"):
+            d = read_matrix_market(pc.matrix).to_csr().to_ell()
+        elif pc.matrix.endswith(".npz"):
+            d = load_ell_npz(pc.matrix)
+        else:
+            d = read_parsed_txt(pc.matrix).to_ell()
+        mesh = _infer_mesh(d.shape[0])
+        if cf:
+            d = type(d)(cplx.ascf(d.vals, rdt), d.cols, d.n_cols)
+            a = DiracOperator(d, cplx.from_scalar(pc.k, rdt))
+            rhs = cplx.random(jax.random.PRNGKey(pc.seed), (d.shape[0],), rdt)
+            return a, mesh, rhs, cplx.to_numpy
+        d = type(d)(d.vals.astype(cdt), d.cols, d.n_cols)
+        a = DiracOperator(d, jnp.asarray(pc.k, cdt))
+        rhs = fields.random_field(jax.random.PRNGKey(pc.seed), d.shape[0], cdt)
+        return a, mesh, rhs, np.asarray
+
+    dims = tuple(pc.lattice) or (8, 8, 8, 8)
+    mesh = LatticeMesh((*dims, 4, 3))
+    key = jax.random.PRNGKey(pc.seed)
+    if cf:
+        from mgpgcr_tpu.ops.wilson import random_links_cf
+        from mgpgcr_tpu.ops.wilson_tpu import TpuWilsonDirac
+        from mgpgcr_tpu.ops.pallas.dslash import PallasWilsonDirac
+
+        links = random_links_cf(pc.seed, mesh, dtype=rdt)
+        on_tpu = jax.devices()[0].platform == "tpu"
+        op_cls = PallasWilsonDirac if on_tpu else TpuWilsonDirac
+        d = op_cls.build(links, mesh)
+        a = DiracOperator(d, cplx.from_scalar(pc.k, rdt))
+        rhs = cplx.random(jax.random.PRNGKey(pc.seed + 1), d.field_shape, rdt)
+        return a, mesh, rhs, cplx.to_numpy
+    from mgpgcr_tpu.ops.wilson import WilsonDiracOperator, random_links
+
+    links = random_links(key, mesh, dtype=cdt)
+    d = WilsonDiracOperator(links, mesh)
+    a = DiracOperator(d, jnp.asarray(pc.k, cdt))
+    rhs = fields.random_field(jax.random.PRNGKey(pc.seed + 1), mesh, cdt)
+    return a, mesh, rhs, np.asarray
+
+
+def _solve_once(cfg, jax, logger):
+    from mgpgcr_tpu import cplx
+    from mgpgcr_tpu.solvers.gcr import gcr_solve
+    from mgpgcr_tpu.solvers.mg import setup_mg
+    from mgpgcr_tpu.utils.logging import Timer
+
+    a, mesh, rhs, to_host = build_problem(cfg.problem, jax)
+    precond = None
+    setup_s = 0.0
+    if cfg.mg is not None:
+        if mesh is None:
+            raise SystemExit("MG requires a lattice mesh (synthetic or inferable)")
+        with Timer(logger, "mg_setup") as t:
+            mgp = setup_mg(jax.random.PRNGKey(cfg.problem.seed + 7), a, mesh, cfg.mg)
+            Timer.block_on(jax.tree_util.tree_leaves(mgp.coarse))
+        precond = mgp.apply
+        setup_s = t.elapsed
+    with Timer(logger, "solve") as t:
+        res = gcr_solve(a, rhs, cfg.gcr, precond=precond)
+        Timer.block_on(jax.tree_util.tree_leaves(res.x))
+    out = {
+        "converged": bool(res.converged),
+        "iters": int(res.n_iters),
+        "relres": float(res.final_relres),
+        "solve_s": round(t.elapsed, 4),
+        "mg_setup_s": round(setup_s, 4),
+    }
+    # independent residual check (never trust the solver's bookkeeping)
+    r = rhs - a.apply(res.x)
+    out["indep_relres"] = float(
+        np.sqrt(float(cplx.abs2_sum(r)) / float(cplx.abs2_sum(rhs)))
+    )
+    return out, res
+
+
+def cmd_solve(args) -> int:
+    cfg = _config_from_args(args)
+    jax = _setup_jax(cfg.problem.dtype, args.platform)
+    from mgpgcr_tpu.utils.logging import RunLogger
+    from mgpgcr_tpu.utils.trace import save_residual_trace
+
+    with RunLogger(stream=sys.stderr if args.verbose else None, path=cfg.log) as lg:
+        lg.log("config", **json.loads(json.dumps(_cfg_dict(cfg))))
+        out, res = _solve_once(cfg, jax, lg)
+        if cfg.trace:
+            save_residual_trace(
+                cfg.trace, res.res_history, meta={"k": cfg.problem.k}
+            )
+        lg.log("result", **out)
+    print(json.dumps(out))
+    return 0 if out["converged"] else 1
+
+
+def cmd_ksweep(args) -> int:
+    cfg = _config_from_args(args)
+    jax = _setup_jax(cfg.problem.dtype, args.platform)
+    from mgpgcr_tpu.utils.logging import RunLogger
+
+    import dataclasses
+
+    ks = [
+        args.kmin + i * (args.kmax - args.kmin) / max(args.n - 1, 1)
+        for i in range(args.n)
+    ]
+    rows = []
+    with RunLogger(stream=sys.stderr if args.verbose else None, path=cfg.log) as lg:
+        for k in ks:
+            c = dataclasses.replace(
+                cfg, problem=dataclasses.replace(cfg.problem, k=float(k))
+            )
+            out, _ = _solve_once(c, jax, lg)
+            row = {"k": round(float(k), 6), **out}
+            lg.log("ksweep_point", **row)
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+    ok = all(r["converged"] for r in rows)
+    return 0 if ok else 1
+
+
+def cmd_parse(args) -> int:
+    from mgpgcr_tpu.io import read_matrix_market, write_parsed_txt
+
+    m = read_matrix_market(args.mtx).to_csr()
+    write_parsed_txt(args.out, m)
+    print(
+        json.dumps(
+            {"rows": m.shape[0], "cols": m.shape[1], "nnz": int(m.nnz), "out": args.out}
+        )
+    )
+    return 0
+
+
+def cmd_info(args) -> int:
+    jax = _setup_jax("complex64", args.platform)
+    devs = jax.devices()
+    from mgpgcr_tpu.io import native_parse
+
+    print(
+        json.dumps(
+            {
+                "backend": devs[0].platform,
+                "devices": [str(d) for d in devs],
+                "device_kind": devs[0].device_kind,
+                "native_io": native_parse.available(),
+            }
+        )
+    )
+    return 0
+
+
+def _cfg_dict(cfg):
+    from mgpgcr_tpu.config import config_to_dict
+
+    return config_to_dict(cfg)
+
+
+def _config_from_args(args):
+    import dataclasses
+
+    from mgpgcr_tpu.config import ProblemConfig, RunConfig, load_config
+    from mgpgcr_tpu.solvers.params import GCRParams, MGParams
+
+    cfg = load_config(args.config) if getattr(args, "config", None) else RunConfig()
+    pc = cfg.problem
+    if getattr(args, "matrix", None):
+        pc = dataclasses.replace(pc, matrix=args.matrix)
+    if getattr(args, "lattice", None):
+        pc = dataclasses.replace(pc, lattice=tuple(args.lattice))
+    if getattr(args, "k", None) is not None:
+        pc = dataclasses.replace(pc, k=args.k)
+    if getattr(args, "dtype", None):
+        pc = dataclasses.replace(pc, dtype=args.dtype)
+    if getattr(args, "seed", None) is not None:
+        pc = dataclasses.replace(pc, seed=args.seed)
+    gcr = cfg.gcr
+    if getattr(args, "tol", None) is not None:
+        gcr = dataclasses.replace(gcr, tol=args.tol)
+    if getattr(args, "max_iter", None) is not None:
+        gcr = dataclasses.replace(gcr, max_iter=args.max_iter)
+    if getattr(args, "restart", None) is not None:
+        gcr = dataclasses.replace(gcr, restart=args.restart, truncation=0)
+    mg = cfg.mg
+    if getattr(args, "mg", False) and mg is None:
+        mg = MGParams()
+    if mg is not None:
+        if getattr(args, "block", None):
+            mg = dataclasses.replace(mg, block=args.block)
+        if getattr(args, "nullvecs", None):
+            mg = dataclasses.replace(mg, n_nullvecs=args.nullvecs)
+    return dataclasses.replace(
+        cfg,
+        problem=pc,
+        gcr=gcr,
+        mg=mg,
+        trace=getattr(args, "trace", None) or cfg.trace,
+        log=getattr(args, "log", None) or cfg.log,
+    )
+
+
+def _add_common(p):
+    p.add_argument("--config", help="JSON/TOML run config file")
+    p.add_argument("--platform", help="force jax platform (cpu/tpu)")
+    p.add_argument("--matrix", help="parsed.txt / .mtx / .npz operator")
+    p.add_argument("--lattice", type=int, nargs=4, metavar=("T", "Z", "Y", "X"))
+    p.add_argument("--k", type=float, help="hopping parameter (A = I - kD)")
+    p.add_argument(
+        "--dtype",
+        choices=["complex128", "complex64", "cf32", "cf64"],
+        help="cf* = split re/im TPU representation",
+    )
+    p.add_argument("--seed", type=int)
+    p.add_argument("--tol", type=float)
+    p.add_argument("--max-iter", dest="max_iter", type=int)
+    p.add_argument("--restart", type=int)
+    p.add_argument("--mg", action="store_true", help="enable MG preconditioner")
+    p.add_argument("--block", type=int, help="MG spacetime block extent")
+    p.add_argument("--nullvecs", type=int, help="MG near-null vectors (pre-doubling)")
+    p.add_argument("--trace", help="residual trace output (.npz or .txt)")
+    p.add_argument("--log", help="JSON-lines run log path")
+    p.add_argument("-v", "--verbose", action="store_true")
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="mgpgcr", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("solve", help="solve one system")
+    _add_common(p)
+    p.set_defaults(fn=cmd_solve)
+
+    p = sub.add_parser("ksweep", help="iterations vs hopping parameter k")
+    _add_common(p)
+    p.add_argument("--kmin", type=float, default=0.05)
+    p.add_argument("--kmax", type=float, default=0.20611)
+    p.add_argument("--n", type=int, default=8)
+    p.set_defaults(fn=cmd_ksweep)
+
+    p = sub.add_parser("parse", help=".mtx -> parsed.txt CSR cache")
+    p.add_argument("mtx")
+    p.add_argument("out")
+    p.set_defaults(fn=cmd_parse)
+
+    p = sub.add_parser("info", help="backend/device report")
+    p.add_argument("--platform")
+    p.set_defaults(fn=cmd_info)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

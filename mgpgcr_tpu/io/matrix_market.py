@@ -15,6 +15,21 @@ from mgpgcr_tpu.ops.coo import COOMatrix
 
 
 def read_matrix_market(path: str | os.PathLike) -> COOMatrix:
+    from mgpgcr_tpu.io import native_parse
+
+    fast = native_parse.read_mtx_native(str(path))
+    if fast is not None:
+        rows, cols, vals, shape, symmetric, hermitian = fast
+        if symmetric:
+            off = rows != cols
+            mirror = np.conj(vals[off]) if hermitian else vals[off]
+            rows, cols = (
+                np.concatenate([rows, cols[off]]),
+                np.concatenate([cols, rows[off]]),
+            )
+            vals = np.concatenate([vals, mirror])
+        return COOMatrix(rows, cols, vals, shape)
+
     with open(path, "r") as f:
         first = f.readline()
         field = "real"

@@ -53,6 +53,12 @@ def read_parsed_txt(path: str | os.PathLike) -> CSRMatrix:
 
 def write_parsed_txt(path: str | os.PathLike, m: CSRMatrix) -> None:
     """Write the cache in the exact reference layout (Parse.cpp:42-59)."""
+    from mgpgcr_tpu.io import native_parse
+
+    if native_parse.write_parsed_txt_native(
+        str(path), m.indptr, m.indices, m.data, m.shape
+    ):
+        return
     with open(path, "w") as f:
         f.write(f"{m.shape[0]} {m.shape[1]} {m.nnz}\n")
         f.write(" ".join(str(int(r)) for r in m.indptr[:-1]) + " \n")

@@ -1,0 +1,11 @@
+"""Observability and run utilities.
+
+The reference's only observability is printf + a hardcoded trace file
+(GCR.h:213-216, 270-274; quirk Q9). Here: structured JSON-lines run logs,
+phase timers, residual-trace artifacts, and jax.profiler hooks.
+"""
+
+from mgpgcr_tpu.utils.logging import RunLogger, Timer
+from mgpgcr_tpu.utils.trace import save_residual_trace, load_residual_trace
+
+__all__ = ["RunLogger", "Timer", "save_residual_trace", "load_residual_trace"]

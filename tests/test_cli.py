@@ -1,0 +1,129 @@
+"""CLI / config / observability subsystems."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FIXTURE = os.environ.get(
+    "MGPGCR_REFERENCE_MATRIX",
+    "/root/reference/data/sample_matrix/4x4parsed.txt",
+)
+
+
+def _run(args, timeout=300):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.run(
+        [sys.executable, "-m", "mgpgcr_tpu.cli", *args],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        env=env,
+        cwd=REPO,
+    )
+
+
+def test_info():
+    r = _run(["info", "--platform", "cpu"])
+    assert r.returncode == 0, r.stderr
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["backend"] == "cpu"
+
+
+@pytest.mark.skipif(not os.path.exists(FIXTURE), reason="fixture unavailable")
+def test_solve_fixture_with_trace_and_log(tmp_path):
+    trace = tmp_path / "trace.npz"
+    log = tmp_path / "run.jsonl"
+    r = _run(
+        [
+            "solve", "--platform", "cpu",
+            "--matrix", FIXTURE,
+            "--k", "0.15", "--tol", "1e-9", "--max-iter", "1000",
+            "--restart", "5",
+            "--trace", str(trace), "--log", str(log),
+        ]
+    )
+    assert r.returncode == 0, r.stderr
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["converged"] and out["indep_relres"] < 2e-9
+
+    from mgpgcr_tpu.utils.trace import load_residual_trace
+
+    hist, meta = load_residual_trace(str(trace))
+    assert meta["k"] == 0.15
+    assert len(hist) == out["iters"] + 1
+    assert hist[-1] <= 1e-9 * 1.01
+
+    events = [json.loads(l) for l in log.read_text().splitlines()]
+    names = [e["event"] for e in events]
+    assert "config" in names and "result" in names and "timer" in names
+
+
+def test_solve_config_file(tmp_path):
+    cfg = {
+        "problem": {"lattice": [2, 2, 2, 2], "k": 0.05, "dtype": "complex128"},
+        "gcr": {"tol": 1e-8, "max_iter": 200, "restart": 5},
+    }
+    p = tmp_path / "run.json"
+    p.write_text(json.dumps(cfg))
+    r = _run(["solve", "--platform", "cpu", "--config", str(p)])
+    assert r.returncode == 0, r.stderr
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["converged"]
+
+
+def test_parse_roundtrip(tmp_path):
+    mtx = tmp_path / "m.mtx"
+    mtx.write_text(
+        "%%MatrixMarket matrix coordinate complex general\n"
+        "2 2 2\n"
+        "1 1 1.0 0.5\n"
+        "2 2 -2.0 0.0\n"
+    )
+    out = tmp_path / "parsed.txt"
+    r = _run(["parse", str(mtx), str(out)])
+    assert r.returncode == 0, r.stderr
+    from mgpgcr_tpu.io import read_parsed_txt
+
+    m = read_parsed_txt(out)
+    assert m.shape == (2, 2) and m.nnz == 2
+    np.testing.assert_allclose(m.data, [1.0 + 0.5j, -2.0 + 0j])
+
+
+def test_config_roundtrip(tmp_path):
+    from mgpgcr_tpu.config import (
+        RunConfig,
+        config_from_dict,
+        config_to_dict,
+        load_config,
+        save_config,
+    )
+    from mgpgcr_tpu.solvers.params import MGParams
+
+    cfg = RunConfig(mg=MGParams(block=2, n_nullvecs=3))
+    d = config_to_dict(cfg)
+    cfg2 = config_from_dict(json.loads(json.dumps(d)))
+    assert cfg2.mg.block == 2 and cfg2.mg.n_nullvecs == 3
+    assert cfg2.mg.coarse_gcr == cfg.mg.coarse_gcr
+    p = tmp_path / "c.json"
+    save_config(str(p), cfg)
+    cfg3 = load_config(str(p))
+    assert cfg3 == cfg2
+
+
+def test_toml_config(tmp_path):
+    from mgpgcr_tpu.config import load_config
+
+    p = tmp_path / "c.toml"
+    p.write_text(
+        '[problem]\nlattice = [4, 4, 4, 4]\nk = 0.12\n\n'
+        '[gcr]\ntol = 1e-7\nmax_iter = 50\nrestart = 4\n'
+    )
+    cfg = load_config(str(p))
+    assert cfg.problem.lattice == (4, 4, 4, 4)
+    assert cfg.gcr.tol == 1e-7 and cfg.gcr.restart == 4
