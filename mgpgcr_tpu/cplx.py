@@ -56,6 +56,12 @@ class CF:
     def astype(self, dtype) -> "CF":
         return CF(self.re.astype(dtype), self.im.astype(dtype))
 
+    def transpose(self, *axes) -> "CF":
+        if len(axes) == 1 and isinstance(axes[0], (tuple, list)):
+            axes = tuple(axes[0])
+        axes = axes or None
+        return CF(jnp.transpose(self.re, axes), jnp.transpose(self.im, axes))
+
     def conj(self) -> "CF":
         return CF(self.re, -self.im)
 

@@ -196,6 +196,47 @@ class BlockMap:
         moved = mid.transpose(tuple(range(nlead)) + tuple(nlead + a for a in inv))
         return moved.reshape(lead + (self.mesh.size,))
 
+    # ---- TPU-layout blocking ------------------------------------------
+    # Fields in the TPU compute layout (..., spin 4, colour 3, T, Z, Y*X)
+    # (ops/wilson_tpu.py) block into EXACTLY the same (n_blocks, block_len)
+    # representation as canonical fields — within-block dof order is
+    # (t, z, y, x, spinor, colour) row-major in both — so MG bases and
+    # Galerkin coarse operators are layout-independent.
+
+    def to_blocked_tpu(self, x):
+        """(..., 4, 3, T, Z, Y*X) -> (..., n_blocks, block_len)."""
+        ns = self.mesh.n_spacetime
+        if ns != 4:
+            raise ValueError("TPU layout blocking assumes 4 spacetime dims")
+        t, z, y, xx = self.mesh.spacetime_dims
+        bt, bz, by, bx = self.block_dims
+        lead = x.shape[: x.ndim - 5]
+        nl = len(lead)
+        split = x.reshape(
+            lead
+            + (4, 3, t // bt, bt, z // bz, bz, y // by, by, xx // bx, bx)
+        )
+        perm = tuple(range(nl)) + tuple(
+            nl + a for a in (2, 4, 6, 8, 3, 5, 7, 9, 0, 1)
+        )
+        moved = split.transpose(perm)
+        return moved.reshape(lead + (self.n_blocks, self.block_len))
+
+    def from_blocked_tpu(self, xb):
+        """(..., n_blocks, block_len) -> (..., 4, 3, T, Z, Y*X)."""
+        t, z, y, xx = self.mesh.spacetime_dims
+        bt, bz, by, bx = self.block_dims
+        lead = xb.shape[:-2]
+        nl = len(lead)
+        mid = xb.reshape(
+            lead
+            + (t // bt, z // bz, y // by, xx // bx, bt, bz, by, bx, 4, 3)
+        )
+        # inverse of the (2,4,6,8,3,5,7,9,0,1) permutation
+        inv = (8, 9, 0, 4, 1, 5, 2, 6, 3, 7)
+        moved = mid.transpose(tuple(range(nl)) + tuple(nl + a for a in inv))
+        return moved.reshape(lead + (4, 3, t, z, y * xx))
+
     def neighbor_table(self) -> np.ndarray:
         """(n_blocks, 9) int32 table: [self, +d0, -d0, +d1, -d1, ...] with
         periodic wrap-around — the coarse-grid 9-point stencil of the

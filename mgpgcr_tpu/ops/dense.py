@@ -9,20 +9,22 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from mgpgcr_tpu import cplx
 from mgpgcr_tpu.ops.base import LinearOperator, operator_dataclass
 
 
 @operator_dataclass
 class DenseOperator(LinearOperator):
-    a: jnp.ndarray  # (m, n) complex
+    a: jnp.ndarray  # (m, n) complex array or split re/im cplx.CF
 
     @property
     def shape(self) -> tuple[int, int]:
         return self.a.shape
 
-    def apply(self, x: jnp.ndarray) -> jnp.ndarray:
-        """Matvec (Operator.h:160-173). Supports stacked fields (..., n)."""
-        return jnp.einsum("ij,...j->...i", self.a, x)
+    def apply(self, x):
+        """Matvec (Operator.h:160-173). Supports stacked fields (..., n)
+        and the split re/im CF representation."""
+        return cplx.einsum2("ij,...j->...i", self.a, x)
 
     def val_at(self, row: int, col: int):
         return self.a[row, col]
@@ -39,4 +41,4 @@ class DenseOperator(LinearOperator):
 
     def dagger(self) -> "DenseOperator":
         """Conjugate transpose (Operator.h:176-183)."""
-        return DenseOperator(jnp.conj(self.a.T))
+        return DenseOperator(cplx.conj(cplx.swapaxes(self.a, -1, -2)))

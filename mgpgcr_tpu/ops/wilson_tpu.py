@@ -122,6 +122,12 @@ def links_to_tpu(links, mesh: LatticeMesh):
     return lt.reshape((4, 3, 3, t, z, y * xx))
 
 
+def gamma5_tpu(x):
+    """gamma_5 on TPU-layout fields (..., 4, 3, T, Z, Y*X): spinor swap
+    0<->2, 1<->3 on the spin axis (Fields.h:311-338)."""
+    return cplx.take(x, jnp.array([2, 3, 0, 1]), axis=x.ndim - 5)
+
+
 def _xmasks(y: int, xx: int):
     """Boolean masks over the merged Y*X axis marking x == X-1 and x == 0."""
     xcoord = np.tile(np.arange(xx), y)

@@ -6,20 +6,27 @@ Setup (reference ``MG::initialise``, MG.h:132-285):
 1. near-null vectors by inverse power iteration (MG.h:139-143);
 2. chirality-preserving doubling phi_± = (1 ± gamma_5) phi / 2
    (``vec_double``, MG.h:146-149, 317-345);
-3. 4-D spacetime blocking — here a reshape, not an index map (MG.h:155);
-4. per-block orthonormalisation — batched QR over (n_blocks, block_len, ne)
-   on the MXU instead of serial Gram--Schmidt (MG.h:190-198);
+3. 4-D spacetime blocking — a reshape, not an index map (MG.h:155);
+4. per-block orthonormalisation — batched QR (complex path) or batched
+   modified Gram--Schmidt (split re/im path) over (n_blocks, block_len, ne)
+   instead of serial Gram--Schmidt (MG.h:190-198);
 5. Galerkin coarse operator C = P^H A P assembled per block column with the
    *correct* neighbour bases (the reference's 9-point-stencil assembly,
    MG.h:203-278, has the -mu basis bug Q3 and hardcodes 14 OpenMP threads);
    stored dense (MXU matvec) or block-ELL (``BlockSparseOperator``).
 
-Apply (reference ``MG::solve``, MG.h:406-430) — as a *correct* V-cycle:
-pre-smooth, restricted-residual coarse solve, prolongated correction,
-post-smooth on the corrected iterate. (The reference discards the coarse
-correction by overwriting x with a fresh smoother solve, quirk Q2, and its
-``operator()`` returns uninitialised memory, quirk Q1 — both fixed, per the
-report's intended Algorithm 3.)
+Apply (reference ``MG::solve``, MG.h:406-430) — as a *correct* V-cycle
+(pre-smooth, restricted-residual coarse solve, prolongated correction,
+post-smooth), or, with the smoother off, additive coarse-grid deflation
+M = I + P C^-1 P^H (a pure P C^-1 P^H is rank-deficient and stalls the
+outer Krylov method; the reference instead discards the coarse correction
+entirely, quirk Q2, and returns uninitialised memory, quirk Q1).
+
+Representation/layout-generic: fields are complex jnp arrays in the
+canonical flat layout ("flat") or split re/im ``cplx.CF`` pairs in the TPU
+compute layout (4, 3, T, Z, Y*X) ("tpu", see ops/wilson_tpu.py). Blocked
+forms coincide across layouts (mesh.BlockMap.to_blocked_tpu), so the same
+coarse space is built either way.
 """
 
 from __future__ import annotations
@@ -41,24 +48,38 @@ from mgpgcr_tpu.solvers.params import GCRParams, MGParams
 from mgpgcr_tpu.solvers.power import inverse_power_vectors
 
 
+def _to_blocked(block_map: BlockMap, x, layout: str):
+    return (
+        block_map.to_blocked_tpu(x) if layout == "tpu" else block_map.to_blocked(x)
+    )
+
+
+def _from_blocked(block_map: BlockMap, xb, layout: str):
+    return (
+        block_map.from_blocked_tpu(xb)
+        if layout == "tpu"
+        else block_map.from_blocked(xb)
+    )
+
+
 # ---------------------------------------------------------------------------
 # grid-transfer operators
 # ---------------------------------------------------------------------------
-def restrict(q: jnp.ndarray, block_map: BlockMap, x: jnp.ndarray) -> jnp.ndarray:
-    """R x = P^H x: (..., N) -> (..., nb * ne) (MG::restrict, MG.h:367-383).
+def restrict(q, block_map: BlockMap, x, layout: str = "flat"):
+    """R x = P^H x: fine field -> (..., nb * ne) (MG::restrict, MG.h:367-383).
 
     q: (nb, block_len, ne) orthonormal per-block basis."""
-    xb = block_map.to_blocked(x)  # (..., nb, bl)
-    rc = jnp.einsum("bke,...bk->...be", jnp.conj(q), xb)
+    xb = _to_blocked(block_map, x, layout)  # (..., nb, bl)
+    rc = cplx.einsum2("bke,...bk->...be", cplx.conj(q), xb)
     return rc.reshape(rc.shape[:-2] + (q.shape[0] * q.shape[2],))
 
 
-def prolong(q: jnp.ndarray, block_map: BlockMap, xc: jnp.ndarray) -> jnp.ndarray:
-    """P xc: (..., nb * ne) -> (..., N) (MG::expand, MG.h:348-364)."""
+def prolong(q, block_map: BlockMap, xc, layout: str = "flat"):
+    """P xc: (..., nb * ne) -> fine field (MG::expand, MG.h:348-364)."""
     nb, _, ne = q.shape
     xcb = xc.reshape(xc.shape[:-1] + (nb, ne))
-    xb = jnp.einsum("bke,...be->...bk", q, xcb)
-    return block_map.from_blocked(xb)
+    xb = cplx.einsum2("bke,...be->...bk", q, xcb)
+    return _from_blocked(block_map, xb, layout)
 
 
 # ---------------------------------------------------------------------------
@@ -67,22 +88,23 @@ def prolong(q: jnp.ndarray, block_map: BlockMap, xc: jnp.ndarray) -> jnp.ndarray
 @dataclasses.dataclass(frozen=True)
 class MGPreconditioner(LinearOperator):
     a: LinearOperator  # fine operator
-    q: jnp.ndarray  # (nb, block_len, ne) per-block orthonormal basis
+    q: jnp.ndarray  # (nb, block_len, ne) per-block orthonormal basis (or CF)
     coarse: LinearOperator  # Galerkin coarse operator (dense or block-ELL)
     block_map: BlockMap
     params: MGParams
+    layout: str = "flat"  # "flat" canonical complex | "tpu" CF (4,3,T,Z,V)
 
     @property
     def shape(self) -> tuple[int, int]:
         return self.a.shape
 
-    def restrict(self, x: jnp.ndarray) -> jnp.ndarray:
-        return restrict(self.q, self.block_map, x)
+    def restrict(self, x):
+        return restrict(self.q, self.block_map, x, self.layout)
 
-    def prolong(self, xc: jnp.ndarray) -> jnp.ndarray:
-        return prolong(self.q, self.block_map, xc)
+    def prolong(self, xc):
+        return prolong(self.q, self.block_map, xc, self.layout)
 
-    def _smooth(self, rhs: jnp.ndarray, x: jnp.ndarray, n: int) -> jnp.ndarray:
+    def _smooth(self, rhs, x, n: int):
         sp = self.params.smoother_gcr
         if sp is None or n == 0:
             return x
@@ -92,16 +114,11 @@ class MGPreconditioner(LinearOperator):
         return x
 
     def apply(self, r):
-        """One V(pre, post)-cycle approximating A^{-1} r; a deterministic
-        linear map suitable as a flexible-GCR preconditioner.
+        """One V(pre, post)-cycle approximating A^{-1} r (smoother on), or
+        additive coarse-grid deflation M = I + P C^-1 P^H (smoother off —
+        the reference's config of record, main.cpp:840-858; a pure
+        P C^-1 P^H would be rank-deficient and stall the outer GCR)."""
 
-        With the smoother off (the reference's config of record,
-        main.cpp:840-858) a *pure* coarse correction P C^-1 P^H would be
-        rank-deficient and stall the outer Krylov method in range(P); the
-        correct smoother-free two-level preconditioner is additive
-        coarse-grid deflation M = I + P C^-1 P^H, which is what the
-        coarse space's purpose is (capture the near-null modes that make
-        k ~ k_critical ill-conditioned, SemesterProject.pdf §3.3)."""
         def coarse_correct(res):
             ec = gcr_solve(self.coarse, self.restrict(res), self.params.coarse_gcr).x
             return cplx.scale_real(
@@ -117,46 +134,70 @@ class MGPreconditioner(LinearOperator):
         x = self._smooth(r, x, self.params.n_post_smooth)
         return x
 
-    def as_preconditioner(self) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    def as_preconditioner(self) -> Callable:
         return self.apply
 
 
 jax.tree_util.register_dataclass(
     MGPreconditioner,
     data_fields=["a", "q", "coarse"],
-    meta_fields=["block_map", "params"],
+    meta_fields=["block_map", "params", "layout"],
 )
 
 
 # ---------------------------------------------------------------------------
 # setup
 # ---------------------------------------------------------------------------
-def chiral_double(vecs: jnp.ndarray, mesh: LatticeMesh) -> jnp.ndarray:
-    """(n, N) -> (2n, N): [P_+ v_i ...; P_- v_i ...] (MG.h:317-345)."""
-    plus = fields.chiral_project(vecs, +1, mesh)
-    minus = fields.chiral_project(vecs, -1, mesh)
-    return jnp.concatenate([plus, minus], axis=0)
+def chiral_double(vecs, mesh: LatticeMesh, layout: str = "flat"):
+    """(n, ...) -> (2n, ...): [P_+ v_i ...; P_- v_i ...] (MG.h:317-345)."""
+    if layout == "tpu":
+        from mgpgcr_tpu.ops.wilson_tpu import gamma5_tpu
+
+        g5 = gamma5_tpu(vecs)
+    else:
+        g5 = fields.gamma5(vecs, mesh)
+    plus = cplx.scale_real(vecs + g5, 0.5)
+    minus = cplx.scale_real(vecs - g5, 0.5)
+    return cplx.concatenate([plus, minus], axis=0)
 
 
-def block_orthonormalize(
-    vecs: jnp.ndarray, block_map: BlockMap
-) -> jnp.ndarray:
-    """Per-block orthonormal basis from (ne, N) vectors -> (nb, bl, ne).
+def _batched_mgs(mats):
+    """Per-block modified Gram--Schmidt with reorthogonalisation:
+    (nb, bl, ne) -> orthonormal columns. Works for complex and CF (no
+    complex QR exists for the split re/im representation)."""
+    nb, bl, ne = mats.shape
+    cols = []
+    for e in range(ne):
+        v = mats[:, :, e]
+        for _ in range(2):  # one reorthogonalisation pass
+            for qj in cols:
+                proj = cplx.einsum2("bk,bk->b", cplx.conj(qj), v)
+                v = v - proj.reshape(nb, 1) * qj
+        nrm = jnp.sqrt(
+            jnp.sum(cplx.abs2(v), axis=1, keepdims=True)
+        )
+        v = cplx.scale_real(v, 1.0 / nrm)
+        cols.append(v)
+    return cplx.stack(cols, axis=2)
 
-    Batched thin-QR on the MXU; replaces the reference's per-block serial
-    Gram--Schmidt (MG.h:190-198) — same column span, hence an equivalent
-    coarse space."""
-    blocked = block_map.to_blocked(vecs)  # (ne, nb, bl)
-    mats = jnp.transpose(blocked, (1, 2, 0))  # (nb, bl, ne)
+
+def block_orthonormalize(vecs, block_map: BlockMap, layout: str = "flat"):
+    """Per-block orthonormal basis from (ne, ...) vectors -> (nb, bl, ne).
+
+    Batched thin-QR (complex path) / batched MGS (CF path); replaces the
+    reference's per-block serial Gram--Schmidt (MG.h:190-198) — same
+    column span, hence an equivalent coarse space."""
+    blocked = _to_blocked(block_map, vecs, layout)  # (ne, nb, bl)
+    mats = cplx.transpose(blocked, (1, 2, 0))  # (nb, bl, ne)
     if mats.shape[1] < mats.shape[2]:
         raise ValueError("block_len smaller than number of coarse vectors")
+    if cplx.is_cf(mats):
+        return _batched_mgs(mats)
     q, _ = jnp.linalg.qr(mats, mode="reduced")
     return q
 
 
-def galerkin_coarse_matrix(
-    a: LinearOperator, q: jnp.ndarray, block_map: BlockMap
-) -> jnp.ndarray:
+def galerkin_coarse_matrix(a: LinearOperator, q, block_map: BlockMap, layout: str = "flat"):
     """Dense Galerkin coarse matrix C = P^H A P, (nc, nc).
 
     Assembled one block-column-group at a time: the ne fine basis vectors of
@@ -166,20 +207,23 @@ def galerkin_coarse_matrix(
     (MG.h:206-278) and is exact (no 9-point truncation, no quirk-Q3 basis
     mixup); locality of A makes C block-9-point-sparse automatically."""
     nb, bl, ne = q.shape
-    nc = nb * ne
+    zeros_nb = (
+        cplx.CF(jnp.zeros((ne, nb, bl), q.dtype), jnp.zeros((ne, nb, bl), q.dtype))
+        if cplx.is_cf(q)
+        else jnp.zeros((ne, nb, bl), q.dtype)
+    )
     cols = []
     for b in range(nb):
-        basis_blocked = jnp.zeros((ne, nb, bl), q.dtype)
-        basis_blocked = basis_blocked.at[:, b, :].set(q[b].T)
-        basis = block_map.from_blocked(basis_blocked)  # (ne, N)
-        ab = jax.vmap(a.apply)(basis)  # (ne, N)
-        cols.append(restrict(q, block_map, ab).T)  # (nc, ne)
-    return jnp.concatenate(cols, axis=1)  # (nc, nc)
+        basis_blocked = zeros_nb.at[:, b, :].set(cplx.swapaxes(q[b], 0, 1))
+        basis = _from_blocked(block_map, basis_blocked, layout)  # (ne, fine...)
+        ab = jax.vmap(a.apply)(basis)  # (ne, fine...)
+        cols.append(
+            cplx.swapaxes(restrict(q, block_map, ab, layout), -1, -2)
+        )  # (nc, ne)
+    return cplx.concatenate(cols, axis=1)  # (nc, nc)
 
 
-def coarse_to_block_ell(
-    c: jnp.ndarray, block_map: BlockMap, ne: int
-) -> BlockSparseOperator:
+def coarse_to_block_ell(c, block_map: BlockMap, ne: int) -> BlockSparseOperator:
     """Extract the 9-point block structure of a dense Galerkin matrix into
     block-ELL form (the reference's HierarchicalSparse layout,
     HierarchicalSparse.h:22-48, with a uniform K=9 stencil)."""
@@ -187,9 +231,8 @@ def coarse_to_block_ell(
     nb = table.shape[0]
     cb = c.reshape(nb, ne, nb, ne)
     # blocks[r, k] = C[r-block rows, table[r, k]-block cols]
-    blocks = jnp.transpose(cb, (0, 2, 1, 3))[
-        jnp.arange(nb)[:, None], table
-    ]  # (nb, 9, ne, ne)
+    perm = cplx.transpose(cb, (0, 2, 1, 3))
+    blocks = perm[jnp.arange(nb)[:, None], table]  # (nb, 9, ne, ne)
     # zero duplicate stencil entries (small lattices where +mu == -mu or
     # neighbour == self) so each coupling is counted once
     k = table.shape[1]
@@ -202,7 +245,8 @@ def coarse_to_block_ell(
             if ccol in seen:
                 dup[r, j] = True
             seen.add(ccol)
-    blocks = jnp.where(jnp.asarray(dup)[:, :, None, None], 0.0, blocks)
+    mask = jnp.asarray(dup)[:, :, None, None]
+    blocks = cplx.where(mask, cplx.zeros_like(blocks), blocks)
     return BlockSparseOperator(blocks, table.astype(jnp.int32))
 
 
@@ -211,28 +255,33 @@ def setup_mg(
     a: LinearOperator,
     mesh: LatticeMesh,
     params: MGParams,
+    layout: str = "flat",
 ) -> MGPreconditioner:
-    """Full adaptive-MG setup (reference MG::initialise, MG.h:132-285)."""
-    dtype = _operator_dtype(a)
+    """Full adaptive-MG setup (reference MG::initialise, MG.h:132-285).
+
+    layout="flat": canonical complex fields of shape (mesh.size,).
+    layout="tpu": split re/im CF fields of shape (4, 3, T, Z, Y*X) —
+    use with TpuWilsonDirac / PallasWilsonDirac operators.
+    """
+    if layout == "tpu":
+        rdt = _operator_real_dtype(a)
+        t, z, y, xx = mesh.spacetime_dims
+        b0 = cplx.random(key, (4, 3, t, z, y * xx), rdt)
+    else:
+        b0 = fields.random_field(key, mesh.size, _operator_dtype(a))
     vecs = inverse_power_vectors(
-        key,
-        a,
-        params.n_nullvecs,
-        mesh.size,
-        params.setup_gcr,
-        n_power_iters=params.setup_power_iters,
-        dtype=dtype,
+        a, b0, params.n_nullvecs, params.setup_gcr, params.setup_power_iters
     )
-    doubled = chiral_double(vecs, mesh)  # (2n, N)
+    doubled = chiral_double(vecs, mesh, layout)  # (2n, ...)
     block_map = mesh.blocking(params.block)
-    q = block_orthonormalize(doubled, block_map)  # (nb, bl, ne)
-    c = galerkin_coarse_matrix(a, q, block_map)
+    q = block_orthonormalize(doubled, block_map, layout)  # (nb, bl, ne)
+    c = galerkin_coarse_matrix(a, q, block_map, layout)
     if params.coarse_format == "bsr":
         coarse = coarse_to_block_ell(c, block_map, params.n_coarse_per_block)
     else:
         coarse = DenseOperator(c)
     return MGPreconditioner(
-        a=a, q=q, coarse=coarse, block_map=block_map, params=params
+        a=a, q=q, coarse=coarse, block_map=block_map, params=params, layout=layout
     )
 
 
@@ -241,3 +290,10 @@ def _operator_dtype(a) -> jnp.dtype:
         if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.complexfloating):
             return leaf.dtype
     return jnp.complex64
+
+
+def _operator_real_dtype(a):
+    for leaf in jax.tree_util.tree_leaves(a):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
+            return leaf.dtype
+    return jnp.float32

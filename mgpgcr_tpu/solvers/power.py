@@ -6,41 +6,47 @@ inexact GCR inverse: 10 repeated solves for the first vector (MG.h:101-105),
 then one solve + modified Gram--Schmidt + normalise per additional vector
 (MG.h:110-121). The iterates converge to the low modes of A, which is what
 the adaptive-MG coarse space needs.
+
+Representation-generic: fields may be complex jnp arrays or split re/im
+``cplx.CF`` pairs of any layout; the caller provides the initial random
+field ``b0`` in the desired representation.
 """
 
 from __future__ import annotations
 
-import jax
-import jax.numpy as jnp
-
-from mgpgcr_tpu import fields
-from mgpgcr_tpu.solvers.gcr import gcr_solve_jit
+from mgpgcr_tpu import cplx
+from mgpgcr_tpu.solvers.gcr import gcr_solve
 from mgpgcr_tpu.solvers.params import GCRParams
 
 
+def _normalize(v):
+    import jax.numpy as jnp
+
+    return cplx.scale_real(v, 1.0 / jnp.sqrt(cplx.abs2_sum(v)))
+
+
 def inverse_power_vectors(
-    key: jax.Array,
     a,
+    b0,
     n_vecs: int,
-    dim: int,
     params: GCRParams,
     n_power_iters: int = 10,
-    dtype=jnp.complex128,
-) -> jnp.ndarray:
-    """Return (n_vecs, dim) approximately-orthonormal low-mode vectors."""
-    b = fields.random_field(key, dim, dtype)
+):
+    """Return (n_vecs, *field_shape) approximately-orthonormal low modes,
+    stacked along a new leading axis, in b0's representation."""
+    b = _normalize(b0)
 
     # vector 0: repeated inexact inverse applications (MG.h:101-105)
     for _ in range(n_power_iters):
-        b = gcr_solve_jit(a, b, params, x0=b).x
-        b = fields.normalize(b)
+        b = gcr_solve(a, b, params, x0=b).x
+        b = _normalize(b)
     vecs = [b]
 
     # vectors 1..n-1: one solve + Gram--Schmidt (MG.h:110-121)
     for _ in range(1, n_vecs):
-        w = gcr_solve_jit(a, vecs[-1], params).x
+        w = gcr_solve(a, vecs[-1], params).x
         for v in vecs:
-            w = w - fields.dot(v, w) * v
-        vecs.append(fields.normalize(w))
+            w = w - cplx.vdot(v, w) * v
+        vecs.append(_normalize(w))
 
-    return jnp.stack(vecs)
+    return cplx.stack(vecs, axis=0)
