@@ -134,7 +134,7 @@ def _xmasks(y: int, xx: int):
     return jnp.asarray(xcoord == xx - 1), jnp.asarray(xcoord == 0)
 
 
-@operator_dataclass(meta=("mesh",))
+@operator_dataclass(meta=("mesh", "device_mesh", "axis_t", "axis_z"))
 class TpuWilsonDirac(LinearOperator):
     """Matrix-free hopping operator D in TPU layout (4, 3, T, Z, Y*X).
 
@@ -142,14 +142,61 @@ class TpuWilsonDirac(LinearOperator):
     reference's hopping matrix D, SemesterProject.pdf Eq. 5); only the data
     layout and contraction scheduling differ. Pair with ``DiracOperator``
     for A = I - kD.
+
+    Domain decomposition: with ``device_mesh`` set, the T and/or Z axes are
+    sharded over the named device-mesh axes (``axis_t``/``axis_z``) and the
+    stencil runs inside ``shard_map`` — t/z neighbour access becomes a
+    one-plane ``ppermute`` halo exchange (parallel/halo.py) while y/x stay
+    device-local on the merged Y*X axis. This layout is what makes the
+    decomposition cheap: the sharded axes are *outer* array dims, so halo
+    slices are contiguous and no relayout occurs.
     """
 
     links: cplx.CF  # (4, 3, 3, T, Z, Y*X)
     mesh: LatticeMesh
+    device_mesh: object = None  # jax.sharding.Mesh or None (single device)
+    axis_t: str | None = None
+    axis_z: str | None = None
 
     @staticmethod
     def build(links_canonical, mesh: LatticeMesh) -> "TpuWilsonDirac":
         return TpuWilsonDirac(links_to_tpu(links_canonical, mesh), mesh)
+
+    @staticmethod
+    def build_sharded(
+        links_canonical,
+        mesh: LatticeMesh,
+        device_mesh,
+        axis_t: str | None = "t",
+        axis_z: str | None = "z",
+    ) -> "TpuWilsonDirac":
+        """Shard links over the device mesh and return a distributed op."""
+        import jax
+        from jax.sharding import NamedSharding
+
+        links = links_to_tpu(links_canonical, mesh)
+        op = TpuWilsonDirac(links, mesh, device_mesh, axis_t, axis_z)
+        links = jax.device_put(
+            links, NamedSharding(device_mesh, op._links_spec())
+        )
+        return TpuWilsonDirac(links, mesh, device_mesh, axis_t, axis_z)
+
+    def _field_spec(self):
+        from jax.sharding import PartitionSpec as P
+
+        return P(None, None, self.axis_t, self.axis_z, None)
+
+    def _links_spec(self):
+        from jax.sharding import PartitionSpec as P
+
+        return P(None, None, None, self.axis_t, self.axis_z, None)
+
+    def shard_field(self, x):
+        """Lay a (4,3,T,Z,V) field out to match this operator's sharding."""
+        import jax
+        from jax.sharding import NamedSharding
+
+        return jax.device_put(x, NamedSharding(self.device_mesh, self._field_spec()))
 
     @property
     def shape(self) -> tuple[int, int]:
@@ -160,14 +207,29 @@ class TpuWilsonDirac(LinearOperator):
         t, z, y, xx = self.mesh.spacetime_dims
         return (4, 3, t, z, y * xx)
 
+    def _axis_size(self, name) -> int:
+        if name is None or self.device_mesh is None:
+            return 1
+        return self.device_mesh.shape[name]
+
     # ---- nearest-neighbour access -------------------------------------
     def _shift(self, v, mu: int, fwd: bool):
-        """Value at the ±mu neighbour, periodic. v: (..., T, Z, Y*X)."""
+        """Value at the ±mu neighbour, periodic. v: (..., T, Z, Y*X).
+        Inside shard_map, t/z shifts halo-exchange via ppermute."""
         t, z, y, xx = self.mesh.spacetime_dims
+        s = -1 if fwd else 1
         if mu == 0:
-            return cplx.roll(v, -1 if fwd else 1, v.ndim - 3)
+            from mgpgcr_tpu.parallel.halo import periodic_shift
+
+            return periodic_shift(
+                v, v.ndim - 3, s, self.axis_t, self._axis_size(self.axis_t)
+            )
         if mu == 1:
-            return cplx.roll(v, -1 if fwd else 1, v.ndim - 2)
+            from mgpgcr_tpu.parallel.halo import periodic_shift
+
+            return periodic_shift(
+                v, v.ndim - 2, s, self.axis_z, self._axis_size(self.axis_z)
+            )
         ax = v.ndim - 1
         if mu == 2:
             return cplx.roll(v, -xx if fwd else xx, ax)
@@ -184,10 +246,24 @@ class TpuWilsonDirac(LinearOperator):
     # field separately.
 
     def apply(self, psi):
-        """D psi; psi: (4, 3, T, Z, Y*X) as cplx.CF (or complex array)."""
+        """D psi; psi: (4, 3, T, Z, Y*X) as cplx.CF (or complex array);
+        sharded per ``_field_spec`` when a device mesh is configured."""
+        if self.device_mesh is None:
+            return self._apply_local(self.links, psi)
+        import jax
+
+        fn = jax.shard_map(
+            self._apply_local,
+            mesh=self.device_mesh,
+            in_specs=(self._links_spec(), self._field_spec()),
+            out_specs=self._field_spec(),
+        )
+        return fn(self.links, psi)
+
+    def _apply_local(self, links, psi):
         out = [None] * 4
         for mu in range(4):
-            u = self.links[mu]  # (3, 3, T, Z, V)
+            u = links[mu]  # (3, 3, T, Z, V)
             pm, pp = _PM[mu], _PP[mu]
 
             # forward hop: (1 - gamma_mu) U_mu(x) psi(x + mu):

@@ -213,10 +213,11 @@ def galerkin_coarse_matrix(a: LinearOperator, q, block_map: BlockMap, layout: st
         else jnp.zeros((ne, nb, bl), q.dtype)
     )
     cols = []
+    batch_apply = jax.jit(jax.vmap(a.apply))  # compiled once, reused per block
     for b in range(nb):
         basis_blocked = zeros_nb.at[:, b, :].set(cplx.swapaxes(q[b], 0, 1))
         basis = _from_blocked(block_map, basis_blocked, layout)  # (ne, fine...)
-        ab = jax.vmap(a.apply)(basis)  # (ne, fine...)
+        ab = batch_apply(basis)  # (ne, fine...)
         cols.append(
             cplx.swapaxes(restrict(q, block_map, ab, layout), -1, -2)
         )  # (nc, ne)

@@ -15,7 +15,7 @@ field ``b0`` in the desired representation.
 from __future__ import annotations
 
 from mgpgcr_tpu import cplx
-from mgpgcr_tpu.solvers.gcr import gcr_solve
+from mgpgcr_tpu.solvers.gcr import gcr_solve_jit
 from mgpgcr_tpu.solvers.params import GCRParams
 
 
@@ -36,15 +36,18 @@ def inverse_power_vectors(
     stacked along a new leading axis, in b0's representation."""
     b = _normalize(b0)
 
+    # jitted solves: every iteration reuses one compiled executable —
+    # essential for sharded operators, where eager shard_map dispatch
+    # re-traces and re-partitions per call
     # vector 0: repeated inexact inverse applications (MG.h:101-105)
     for _ in range(n_power_iters):
-        b = gcr_solve(a, b, params, x0=b).x
+        b = gcr_solve_jit(a, b, params, x0=b).x
         b = _normalize(b)
     vecs = [b]
 
     # vectors 1..n-1: one solve + Gram--Schmidt (MG.h:110-121)
     for _ in range(1, n_vecs):
-        w = gcr_solve(a, vecs[-1], params).x
+        w = gcr_solve_jit(a, vecs[-1], params).x
         for v in vecs:
             w = w - cplx.vdot(v, w) * v
         vecs.append(_normalize(w))
