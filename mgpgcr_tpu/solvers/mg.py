@@ -93,6 +93,7 @@ class MGPreconditioner(LinearOperator):
     block_map: BlockMap
     params: MGParams
     layout: str = "flat"  # "flat" canonical complex | "tpu" CF (4,3,T,Z,V)
+    coarse_precond: "MGPreconditioner | None" = None  # next level (n_level > 2)
 
     @property
     def shape(self) -> tuple[int, int]:
@@ -120,7 +121,10 @@ class MGPreconditioner(LinearOperator):
         P C^-1 P^H would be rank-deficient and stall the outer GCR)."""
 
         def coarse_correct(res):
-            ec = gcr_solve(self.coarse, self.restrict(res), self.params.coarse_gcr).x
+            cp = self.coarse_precond.apply if self.coarse_precond is not None else None
+            ec = gcr_solve(
+                self.coarse, self.restrict(res), self.params.coarse_gcr, precond=cp
+            ).x
             return cplx.scale_real(
                 self.prolong(ec),
                 jnp.asarray(self.params.correction_damping, cplx.real_dtype(r)),
@@ -140,7 +144,7 @@ class MGPreconditioner(LinearOperator):
 
 jax.tree_util.register_dataclass(
     MGPreconditioner,
-    data_fields=["a", "q", "coarse"],
+    data_fields=["a", "q", "coarse", "coarse_precond"],
     meta_fields=["block_map", "params", "layout"],
 )
 
@@ -148,9 +152,11 @@ jax.tree_util.register_dataclass(
 # ---------------------------------------------------------------------------
 # setup
 # ---------------------------------------------------------------------------
-def chiral_double(vecs, mesh: LatticeMesh, layout: str = "flat"):
+def chiral_double(vecs, mesh: LatticeMesh, layout: str = "flat", gamma5_fn=None):
     """(n, ...) -> (2n, ...): [P_+ v_i ...; P_- v_i ...] (MG.h:317-345)."""
-    if layout == "tpu":
+    if gamma5_fn is not None:
+        g5 = gamma5_fn(vecs)
+    elif layout == "tpu":
         from mgpgcr_tpu.ops.wilson_tpu import gamma5_tpu
 
         g5 = gamma5_tpu(vecs)
@@ -159,6 +165,24 @@ def chiral_double(vecs, mesh: LatticeMesh, layout: str = "flat"):
     plus = cplx.scale_real(vecs + g5, 0.5)
     minus = cplx.scale_real(vecs - g5, 0.5)
     return cplx.concatenate([plus, minus], axis=0)
+
+
+def coarse_gamma5_fn(ne: int):
+    """gamma_5 on a coarse level: the chirally-doubled basis orders each
+    block's dof as [ne/2 plus-chirality | ne/2 minus] (chirality subspaces
+    are mutually orthogonal, so orthonormalisation cannot mix them), hence
+    coarse gamma_5 is the sign pattern diag(+1..., -1...) per block."""
+    import numpy as _np
+
+    sign = _np.ones(ne)
+    sign[ne // 2 :] = -1.0
+
+    def g5(x):
+        s = jnp.asarray(sign, cplx.real_dtype(x))
+        flat = x.reshape(x.shape[:-1] + (x.shape[-1] // ne, ne))
+        return cplx.scale_real(flat, s).reshape(x.shape)
+
+    return g5
 
 
 def _batched_mgs(mats):
@@ -257,8 +281,14 @@ def setup_mg(
     mesh: LatticeMesh,
     params: MGParams,
     layout: str = "flat",
+    gamma5_fn=None,
+    _level: int = 1,
+    _cf: bool = False,
 ) -> MGPreconditioner:
-    """Full adaptive-MG setup (reference MG::initialise, MG.h:132-285).
+    """Full adaptive-MG setup (reference MG::initialise, MG.h:132-285),
+    recursively multi-level for ``params.n_level > 2`` (the reference's
+    n_level knob is declared but only two-level was ever implemented,
+    MG.h:29, 407).
 
     layout="flat": canonical complex fields of shape (mesh.size,).
     layout="tpu": split re/im CF fields of shape (4, 3, T, Z, Y*X) —
@@ -268,22 +298,54 @@ def setup_mg(
         rdt = _operator_real_dtype(a)
         t, z, y, xx = mesh.spacetime_dims
         b0 = cplx.random(key, (4, 3, t, z, y * xx), rdt)
+    elif _cf:  # flat CF fields (coarse levels under a split re/im fine level)
+        b0 = cplx.random(key, (mesh.size,), _operator_real_dtype(a))
     else:
         b0 = fields.random_field(key, mesh.size, _operator_dtype(a))
+    block_extent = params.block if _level == 1 else params.coarse_block
     vecs = inverse_power_vectors(
         a, b0, params.n_nullvecs, params.setup_gcr, params.setup_power_iters
     )
-    doubled = chiral_double(vecs, mesh, layout)  # (2n, ...)
-    block_map = mesh.blocking(params.block)
+    doubled = chiral_double(vecs, mesh, layout, gamma5_fn)  # (2n, ...)
+    block_map = mesh.blocking(block_extent)
     q = block_orthonormalize(doubled, block_map, layout)  # (nb, bl, ne)
     c = galerkin_coarse_matrix(a, q, block_map, layout)
+    ne = 2 * params.n_nullvecs
     if params.coarse_format == "bsr":
-        coarse = coarse_to_block_ell(c, block_map, params.n_coarse_per_block)
+        coarse = coarse_to_block_ell(c, block_map, ne)
     else:
         coarse = DenseOperator(c)
+
+    coarse_precond = None
+    if params.n_level - _level > 1:
+        bpd = block_map.blocks_per_dim
+        cb = params.coarse_block
+        if all(d % cb == 0 and d >= cb for d in bpd) and (
+            cb**4 * ne >= 2 * params.n_nullvecs
+        ):
+            coarse_mesh = LatticeMesh((*bpd, ne), n_spacetime=4)
+            key, sub = jax.random.split(key)
+            coarse_precond = setup_mg(
+                sub,
+                coarse,
+                coarse_mesh,
+                params,
+                layout="flat",
+                gamma5_fn=coarse_gamma5_fn(ne),
+                _level=_level + 1,
+                _cf=cplx.is_cf(q),
+            )
     return MGPreconditioner(
-        a=a, q=q, coarse=coarse, block_map=block_map, params=params, layout=layout
+        a=a,
+        q=q,
+        coarse=coarse,
+        block_map=block_map,
+        params=params,
+        layout=layout,
+        coarse_precond=coarse_precond,
     )
+
+
 
 
 def _operator_dtype(a) -> jnp.dtype:

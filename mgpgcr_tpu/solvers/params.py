@@ -72,6 +72,14 @@ class MGParams:
     n_post_smooth: int = 1
     coarse_format: str = "dense"  # "dense" (MXU matvec) or "bsr" (block-ELL)
     correction_damping: float = 1.0  # reference hardcodes 0.1 (MG.h:426, quirk Q2)
+    # Levels: 2 = classic two-level (all the reference implements — its
+    # n_level knob exists but recursive_solve was never written, MG.h:29,
+    # 407). >2 recursively coarsens the *block lattice*: the coarse system
+    # lives on (Bt,Bz,By,Bx) sites with ne internal dof whose chirality
+    # structure survives orthonormalisation, so chiral doubling and
+    # blocking apply again verbatim.
+    n_level: int = 2
+    coarse_block: int = 2  # spacetime block extent at levels >= 2
 
     @property
     def n_coarse_per_block(self) -> int:

@@ -81,3 +81,74 @@ def test_tpu_and_flat_mg_build_same_coarse_space(tpu_problem):
     p_flat = np.einsum("bke,ble->bkl", q_flat, q_flat.conj())
     p_tpu = np.einsum("bke,ble->bkl", q_tpu, q_tpu.conj())
     np.testing.assert_allclose(p_flat, p_tpu, atol=1e-9)
+
+
+def test_mg_checkpoint_roundtrip(tpu_problem, tmp_path):
+    """Setup products save/load to identical preconditioner action, both
+    representations (SURVEY.md §5: checkpoint the expensive setup)."""
+    from mgpgcr_tpu.io.checkpoint import load_mg_setup, save_mg_setup
+
+    mesh, a_cf, a_cx = tpu_problem
+    params = MGParams(block=2, n_nullvecs=2)
+
+    mgp = setup_mg(jax.random.PRNGKey(3), a_cf, mesh, params, layout="tpu")
+    p = tmp_path / "mg_cf.npz"
+    save_mg_setup(p, mgp)
+    mgp2 = load_mg_setup(p, a_cf)
+    assert mgp2.layout == "tpu" and mgp2.params == mgp.params
+    r = cplx.random(jax.random.PRNGKey(11), a_cf.d.field_shape, jnp.float64)
+    np.testing.assert_array_equal(
+        cplx.to_numpy(mgp.apply(r)), cplx.to_numpy(mgp2.apply(r))
+    )
+
+    mgp_cx = setup_mg(jax.random.PRNGKey(3), a_cx, mesh, params)
+    p2 = tmp_path / "mg_cx.npz"
+    save_mg_setup(p2, mgp_cx)
+    mgp_cx2 = load_mg_setup(p2, a_cx)
+    rx = fields.random_field(jax.random.PRNGKey(12), mesh)
+    np.testing.assert_array_equal(
+        np.asarray(mgp_cx.apply(rx)), np.asarray(mgp_cx2.apply(rx))
+    )
+
+
+def test_three_level_mg(tpu_problem, tmp_path):
+    """n_level=3: recursive coarsening of the block lattice. The reference
+    declares n_level but never implemented recursion (MG.h:29, 407)."""
+    from mgpgcr_tpu.io.checkpoint import load_mg_setup, save_mg_setup
+
+    mesh, a_cf, a_cx = tpu_problem
+    params = MGParams(block=2, n_nullvecs=2, n_level=3, coarse_block=2)
+    mgp = setup_mg(jax.random.PRNGKey(3), a_cx, mesh, params)
+    assert mgp.coarse_precond is not None, "level 3 was not built"
+    assert mgp.coarse_precond.coarse_precond is None
+
+    # level-2 Galerkin consistency on the coarse lattice
+    lvl2 = mgp.coarse_precond
+    nc2 = lvl2.coarse.shape[0]
+    v = fields.random_field(jax.random.PRNGKey(5), lvl2.a.shape[0])
+    lhs = lvl2.restrict(lvl2.a.apply(lvl2.prolong(
+        fields.random_field(jax.random.PRNGKey(6), nc2))))
+    # projector identity: R P = I on the level-2 coarse space
+    vc = fields.random_field(jax.random.PRNGKey(6), nc2)
+    np.testing.assert_allclose(
+        np.asarray(lvl2.restrict(lvl2.prolong(vc))), np.asarray(vc), atol=1e-10
+    )
+
+    # the 3-level preconditioned solve converges
+    b = fields.random_field(jax.random.PRNGKey(7), mesh)
+    res = gcr_solve(
+        a_cx, b, GCRParams(tol=1e-8, max_iter=300, restart=5), precond=mgp.apply
+    )
+    assert bool(res.converged)
+    r = b - a_cx.apply(res.x)
+    assert float(fields.norm(r) / fields.norm(b)) < 5e-8
+
+    # multilevel checkpoint round-trip
+    p = tmp_path / "mg3.npz"
+    save_mg_setup(p, mgp)
+    mgp2 = load_mg_setup(p, a_cx)
+    assert mgp2.coarse_precond is not None
+    rx = fields.random_field(jax.random.PRNGKey(12), mesh)
+    np.testing.assert_array_equal(
+        np.asarray(mgp.apply(rx)), np.asarray(mgp2.apply(rx))
+    )
