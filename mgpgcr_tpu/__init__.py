@@ -21,7 +21,9 @@ Lattice QCD), redesigned TPU-first:
 """
 
 from mgpgcr_tpu.mesh import LatticeMesh, BlockMap
-from mgpgcr_tpu import fields
+from mgpgcr_tpu import cplx, fields
+from mgpgcr_tpu import ops
+from mgpgcr_tpu.ops import wilson, wilson_tpu
 from mgpgcr_tpu.ops.base import LinearOperator
 from mgpgcr_tpu.ops.dense import DenseOperator
 from mgpgcr_tpu.ops.ell import ELLOperator
@@ -33,8 +35,17 @@ from mgpgcr_tpu.solvers.params import GCRParams, MGParams
 from mgpgcr_tpu.solvers.result import SolveResult
 from mgpgcr_tpu.solvers.gcr import gcr_solve, GCRSolver
 from mgpgcr_tpu.solvers.mg import MGPreconditioner, setup_mg
+from mgpgcr_tpu.solvers.refine import refined_solve, wilson_refined_solve
+from mgpgcr_tpu.solvers.eigen import smallest_eigenpairs
 
 __all__ = [
+    "cplx",
+    "ops",
+    "wilson",
+    "wilson_tpu",
+    "refined_solve",
+    "wilson_refined_solve",
+    "smallest_eigenpairs",
     "LatticeMesh",
     "BlockMap",
     "fields",

@@ -125,6 +125,23 @@ class CSRMatrix:
         """Scalar multiply (Operator.h:538-544)."""
         return CSRMatrix(self.indptr, self.indices, self.data * s, self.shape)
 
+    def matmul(self, other: "CSRMatrix") -> "CSRMatrix":
+        """SpGEMM: CSR @ CSR (host-side row-merge; the device-side Galerkin
+        triple product uses batched einsum instead, solvers/mg.py)."""
+        assert self.shape[1] == other.shape[0]
+        import scipy.sparse as sp
+
+        a = sp.csr_matrix((self.data, self.indices, self.indptr), self.shape)
+        b = sp.csr_matrix((other.data, other.indices, other.indptr), other.shape)
+        c = (a @ b).tocsr()
+        c.sort_indices()
+        return CSRMatrix(
+            c.indptr.astype(np.int64),
+            c.indices.astype(np.int64),
+            c.data,
+            (self.shape[0], other.shape[1]),
+        )
+
     def dagger(self) -> "CSRMatrix":
         """Conjugate transpose (Operator.h:297-328)."""
         rows = np.repeat(np.arange(self.shape[0]), np.diff(self.indptr))

@@ -42,12 +42,11 @@ from mgpgcr_tpu import cplx
 from mgpgcr_tpu.mesh import LatticeMesh
 from mgpgcr_tpu.ops.base import LinearOperator, operator_dataclass
 from mgpgcr_tpu.ops.wilson_tpu import (
-    _PM,
-    _PP,
+    FACTOR_MINUS,
+    FACTOR_PLUS,
     colour_mul,
     links_to_tpu,
-    needed_spins,
-    spin_combine,
+    spin_matmul,
 )
 
 _ZHALO = 8  # minimum legal z-block thickness for halo views
@@ -131,53 +130,56 @@ def _dslash_kernel(*refs, y: int, xx: int, z_blocked: bool):
             mask_first, _cf_roll(vv, -(xx - 1), ax), _cf_roll(vv, 1, ax)
         )
 
+    psi_slabs = [psi[s] for s in range(4)]
     out = [None] * 4
     for mu in range(4):
-        pm, pp = _PM[mu], _PP[mu]
-        nf, nb = needed_spins(pm), needed_spins(pp)
+        (qm, rm), (qp, rp) = FACTOR_MINUS[mu], FACTOR_PLUS[mu]
         u_mu = u[mu]  # (3, 3, TB, ZB, V)
 
-        # ---- forward hop: (1 - gamma_mu) U(x) psi(x + mu) ----
-        # slab axes: (colour 0, t 1, z 2, v 3)
+        # ---- forward hop: R_- (U(x) . Q_- psi(x + mu)) ----
+        # project to the 2-spin half field, then shift/colour-mul half the
+        # data. slab axes: (colour 0, t 1, z 2, v 3)
+        h = spin_matmul(qm, psi_slabs)
         if mu == 0:
             tb_ = psi.shape[2]
-            shifted = [
-                psi_tp[t] if tb_ == 1
-                else _cf_cat([_cf_slice(psi[t], 1, tb_, 1), psi_tp[t]], 1)
-                for t in nf
+            h_halo = spin_matmul(qm, [psi_tp[s] for s in range(4)])
+            h = [
+                hh if tb_ == 1 else _cf_cat([_cf_slice(hq, 1, tb_, 1), hh], 1)
+                for hq, hh in zip(h, h_halo)
             ]
         elif mu == 1 and z_blocked:
             zb_ = psi.shape[3]
-            shifted = [
-                psi_zp[t] if zb_ == 1
-                else _cf_cat([_cf_slice(psi[t], 1, zb_, 2), psi_zp[t]], 2)
-                for t in nf
+            h_halo = spin_matmul(qm, [psi_zp[s] for s in range(4)])
+            h = [
+                hh if zb_ == 1 else _cf_cat([_cf_slice(hq, 1, zb_, 2), hh], 2)
+                for hq, hh in zip(h, h_halo)
             ]
         else:
-            shifted = [shift_local(psi[t], mu, True) for t in nf]
-        uh = colour_mul(u_mu, shifted, dagger=False)
-        out = spin_combine(pm, nf, uh, out)
+            h = [shift_local(hq, mu, True) for hq in h]
+        uh = colour_mul(u_mu, h, dagger=False)
+        out = spin_matmul(rm, uh, out)
 
-        # ---- backward hop: (1 + gamma_mu) U^dag(x-mu) psi(x-mu)
-        #                  = (1 + gamma_mu) shift_bwd(U^dag psi) ----
-        w = colour_mul(u_mu, [psi[t] for t in nb], dagger=True)
+        # ---- backward hop: R_+ shift_bwd(U^dag(x) . Q_+ psi(x)) ----
+        w = colour_mul(u_mu, spin_matmul(qp, psi_slabs), dagger=True)
         if mu == 0:
-            w_halo = colour_mul(ut_m, [psi_tm[t] for t in nb], dagger=True)
+            hb = spin_matmul(qp, [psi_tm[s] for s in range(4)])
+            w_halo = colour_mul(ut_m, hb, dagger=True)
             w = [
                 wh if wc.shape[1] == 1
                 else _cf_cat([wh, _cf_slice(wc, 0, wc.shape[1] - 1, 1)], 1)
                 for wh, wc in zip(w_halo, w)
             ]
         elif mu == 1 and z_blocked:
-            w_halo = colour_mul(uz_m, [psi_zm[t] for t in nb], dagger=True)
+            hb = spin_matmul(qp, [psi_zm[s] for s in range(4)])
+            w_halo = colour_mul(uz_m, hb, dagger=True)
             w = [
                 wh if wc.shape[2] == 1
                 else _cf_cat([wh, _cf_slice(wc, 0, wc.shape[2] - 1, 2)], 2)
                 for wh, wc in zip(w_halo, w)
             ]
         else:
-            w = [shift_local(wt, mu, False) for wt in w]
-        out = spin_combine(pp, nb, w, out)
+            w = [shift_local(wq, mu, False) for wq in w]
+        out = spin_matmul(rp, w, out)
 
     res = cplx.stack(out, axis=0)
     out_re[...] = res.re

@@ -51,12 +51,17 @@ def _blk(a, b, c, d):
     return np.block([[a, b], [c, d]])
 
 
+# Euclidean (Hermitian) gamma matrices in the Dirac basis. Hermiticity is
+# load-bearing: it makes D gamma5-hermitian (gamma5 D gamma5 = D^dagger),
+# the symmetry the reference's fixtures satisfy (test_hermiticity,
+# main.cpp:541-570) and the chiral-doubling MG setup relies on; it also
+# makes every hopping projector (1 -+ gamma_mu) rank 2 (half-spinor trick).
 GAMMA = np.stack(
     [
         _blk(_I2, _Z2, _Z2, -_I2),  # gamma_t
-        _blk(_Z2, _S1, -_S1, _Z2),  # gamma_z
-        _blk(_Z2, _S2, -_S2, _Z2),  # gamma_y
-        _blk(_Z2, _S3, -_S3, _Z2),  # gamma_x
+        _blk(_Z2, -1j * _S1, 1j * _S1, _Z2),  # gamma_z
+        _blk(_Z2, -1j * _S2, 1j * _S2, _Z2),  # gamma_y
+        _blk(_Z2, -1j * _S3, 1j * _S3, _Z2),  # gamma_x
     ]
 )
 GAMMA5 = _blk(_Z2, _I2, _I2, _Z2)  # spinor swap 0<->2, 1<->3

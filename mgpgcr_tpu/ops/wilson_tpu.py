@@ -35,10 +35,26 @@ from mgpgcr_tpu.mesh import LatticeMesh
 from mgpgcr_tpu.ops.base import LinearOperator, operator_dataclass
 from mgpgcr_tpu.ops.wilson import GAMMA
 
-# hopping spin matrices 1 -+ gamma_mu; entries are 0, +-1, +-2, +-i —
-# applied as scalar-coefficient combinations, skipping structural zeros
+# hopping spin matrices 1 -+ gamma_mu — with Euclidean (Hermitian) gammas
+# these are twice rank-2 projectors, so each factors exactly as
+# (1 -+ gamma_mu) = R @ Q with Q (2,4), R (4,2): the half-spinor trick.
+# Each hop projects to 2 spin components before the SU(3) multiply and the
+# site shift, halving both the colour arithmetic and the shifted traffic.
 _PM = [np.eye(4) - GAMMA[mu] for mu in range(4)]
 _PP = [np.eye(4) + GAMMA[mu] for mu in range(4)]
+
+
+def _rank2_factor(m: np.ndarray):
+    """Hermitian PSD m with eigenvalues {0, 2} -> (Q, R), m = R @ Q."""
+    w, v = np.linalg.eigh(m)
+    keep = w > 1.0
+    assert keep.sum() == 2, "hopping projector must be rank 2"
+    vv = v[:, keep]  # (4, 2) orthonormal
+    return vv.conj().T, 2.0 * vv  # Q (2,4), R (4,2)
+
+
+FACTOR_MINUS = [_rank2_factor(m) for m in _PM]
+FACTOR_PLUS = [_rank2_factor(m) for m in _PP]
 
 
 def sum_cf(terms):
@@ -50,8 +66,26 @@ def sum_cf(terms):
 
 def needed_spins(spin_mat: np.ndarray) -> list:
     """Spin columns of 1 -+ gamma_mu with any nonzero entry — the only
-    components a hop reads (the t-projectors kill half: half-spinor trick)."""
+    components a hop reads."""
     return [t for t in range(4) if np.any(np.abs(spin_mat[:, t]) > 1e-14)]
+
+
+def spin_matmul(m: np.ndarray, slabs: list, out: list | None = None) -> list:
+    """Apply a small spin matrix with trace-time scalar coefficients:
+    result[r] (+)= sum_c m[r, c] * slabs[c], skipping structural zeros."""
+    eps = 1e-14
+    rows = m.shape[0]
+    result = out if out is not None else [None] * rows
+    for r in range(rows):
+        acc = result[r]
+        for c_idx, slab in enumerate(slabs):
+            coef = complex(m[r, c_idx])
+            if abs(coef) < eps:
+                continue
+            term = slab if coef == 1 else coef * slab
+            acc = term if acc is None else acc + term
+        result[r] = acc
+    return result
 
 
 def colour_mul(u, slabs: list, dagger: bool) -> list:
@@ -261,24 +295,25 @@ class TpuWilsonDirac(LinearOperator):
         return fn(self.links, psi)
 
     def _apply_local(self, links, psi):
+        psi_slabs = [psi[s] for s in range(4)]
         out = [None] * 4
         for mu in range(4):
             u = links[mu]  # (3, 3, T, Z, V)
-            pm, pp = _PM[mu], _PP[mu]
+            (qm, rm), (qp, rp) = FACTOR_MINUS[mu], FACTOR_PLUS[mu]
 
-            # forward hop: (1 - gamma_mu) U_mu(x) psi(x + mu):
-            # shift only the spin slabs the projector keeps, then colour-mul
-            needed_f = needed_spins(pm)
-            shifted = [self._shift(psi[t], mu, True) for t in needed_f]
-            uh = colour_mul(u, shifted, dagger=False)
-            out = spin_combine(pm, needed_f, uh, out)
+            # forward hop: R_- (U(x) . Q_- psi(x + mu)) — project to the
+            # 2-spin half field first, then shift/colour-multiply half the
+            # data (projection commutes with both)
+            h = spin_matmul(qm, psi_slabs)
+            h = [self._shift(hq, mu, True) for hq in h]
+            uh = colour_mul(u, h, dagger=False)
+            out = spin_matmul(rm, uh, out)
 
-            # backward hop: (1 + gamma_mu) U^dag(x - mu) psi(x - mu)
-            #             = (1 + gamma_mu) shift_bwd(U^dag psi)
-            needed_b = needed_spins(pp)
-            w = colour_mul(u, [psi[t] for t in needed_b], dagger=True)
-            w = [self._shift(wt, mu, False) for wt in w]
-            out = spin_combine(pp, needed_b, w, out)
+            # backward hop: R_+ shift_bwd(U^dag(x) . Q_+ psi(x))
+            h = spin_matmul(qp, psi_slabs)
+            w = colour_mul(u, h, dagger=True)
+            w = [self._shift(wq, mu, False) for wq in w]
+            out = spin_matmul(rp, w, out)
         return cplx.stack(out, axis=0)
 
     # ---- convenience ----------------------------------------------------

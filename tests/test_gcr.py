@@ -166,3 +166,31 @@ def test_gcr_dirac_4x4_oracle_residual_trajectory(dirac44_csr, dirac44_ell):
     res = gcr_solve_jit(a, jnp.asarray(rhs), GCRParams(tol=0.0, max_iter=n_iter))
     got = res.history_list()
     np.testing.assert_allclose(got, hist, rtol=1e-8)
+
+
+def test_smallest_eigenpairs():
+    """Inverse-iteration eigensolver (the reference's test_EigenSolver,
+    main.cpp:145-191, oracle'd by numpy instead of Eigen's JacobiSVD)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from mgpgcr_tpu import fields
+    from mgpgcr_tpu.ops.dense import DenseOperator
+    from mgpgcr_tpu.solvers.eigen import smallest_eigenpairs
+    from mgpgcr_tpu.solvers.params import GCRParams
+
+    rng = np.random.default_rng(3)
+    n = 60
+    m = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    m = m + m.conj().T + 8.0 * np.eye(n)  # hermitian, well conditioned
+    a = DenseOperator(jnp.asarray(m))
+    b0 = fields.random_field(jax.random.PRNGKey(1), n)
+    res = smallest_eigenpairs(
+        None, a, 3, b0, GCRParams(tol=1e-10, max_iter=200, restart=10),
+        n_power_iters=30,
+    )
+    w = np.sort(np.abs(np.linalg.eigvalsh(m)))
+    # the first vector converges to the smallest |lambda| eigenpair
+    np.testing.assert_allclose(abs(res.values[0]), w[0], rtol=1e-4)
+    assert res.residuals[0] < 1e-3
