@@ -267,26 +267,29 @@ def stack_zeros(n: int, like):
 
 def conj_contract_stack(stack, v):
     """beta_s = <stack_s, v> for a stacked buffer: einsum('s...,...->s',
-    conj(stack), v) — the GCR beta-correction dots (GCR.h:251-262) batched."""
+    conj(stack), v) — the GCR beta-correction dots (GCR.h:251-262) batched.
+
+    CF path reads each large stack component exactly once (the stacks are
+    the dominant traffic of a GCR iteration): contract against both v
+    components in one einsum."""
     if isinstance(stack, CF):
-        rr = jnp.einsum("s...,...->s", stack.re, v.re)
-        ii = jnp.einsum("s...,...->s", stack.im, v.im)
-        ri = jnp.einsum("s...,...->s", stack.re, v.im)
-        ir = jnp.einsum("s...,...->s", stack.im, v.re)
-        return CF(rr + ii, ri - ir)
+        v2 = jnp.stack([v.re, v.im])  # (2, ...) — small relative to stack
+        e = jnp.einsum("s...,c...->sc", stack.re, v2)  # [R.vr, R.vi]
+        f = jnp.einsum("s...,c...->sc", stack.im, v2)  # [I.vr, I.vi]
+        return CF(e[:, 0] + f[:, 1], e[:, 1] - f[:, 0])
     return jnp.einsum("s...,...->s", jnp.conj(stack), v)
 
 
 def weighted_stack_sum(coeffs, stack):
     """sum_s coeffs_s * stack_s (complex coeffs) — the GCR direction update
-    (GCR.h:265-266) batched over the storage axis."""
+    (GCR.h:265-266) batched over the storage axis. CF path reads each
+    stack component once."""
     if isinstance(stack, CF):
         c = ascf(coeffs)
-        rr = jnp.tensordot(c.re, stack.re, axes=1)
-        ii = jnp.tensordot(c.im, stack.im, axes=1)
-        ri = jnp.tensordot(c.re, stack.im, axes=1)
-        ir = jnp.tensordot(c.im, stack.re, axes=1)
-        return CF(rr - ii, ri + ir)
+        c2 = jnp.stack([c.re, c.im])  # (2, S)
+        gr = jnp.tensordot(c2, stack.re, axes=1)  # [cre.R, cim.R]
+        gi = jnp.tensordot(c2, stack.im, axes=1)  # [cre.I, cim.I]
+        return CF(gr[0] - gi[1], gi[0] + gr[1])
     return jnp.tensordot(coeffs, stack, axes=1)
 
 

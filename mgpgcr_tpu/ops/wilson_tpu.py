@@ -156,6 +156,20 @@ def links_to_tpu(links, mesh: LatticeMesh):
     return lt.reshape((4, 3, 3, t, z, y * xx))
 
 
+def with_link_dtype(op, dtype):
+    """Copy of a TPU-layout Wilson operator with link storage cast (e.g.
+    ``jnp.bfloat16``): links are ~60% of the Dslash HBM traffic, and bf16
+    storage is ~1.2x faster at ~1.5e-3 relative accuracy — appropriate for
+    preconditioner-side operators (smoother, MG hierarchy) while the outer
+    residual operator stays f32 (or is refined to f64, solvers/refine.py)."""
+    import dataclasses
+
+    links = op.links
+    return dataclasses.replace(
+        op, links=cplx.CF(links.re.astype(dtype), links.im.astype(dtype))
+    )
+
+
 def gamma5_tpu(x):
     """gamma_5 on TPU-layout fields (..., 4, 3, T, Z, Y*X): spinor swap
     0<->2, 1<->3 on the spin axis (Fields.h:311-338)."""

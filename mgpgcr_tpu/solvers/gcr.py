@@ -125,12 +125,13 @@ def gcr_solve(
         p = z - cplx.weighted_stack_sum(betas, ps)
         ap = az - cplx.weighted_stack_sum(betas, aps)
 
-        # restart: wipe stored directions (GCR.h:277-283)
+        # restart: retire stored directions (GCR.h:277-283). Only the
+        # ap_norms mask is cleared — stale ps/aps entries are never read
+        # (betas are zero-masked where ap_norms == 0), so no O(S*N)
+        # buffer rewrite is needed.
         do_restart = count % restart == 0
         count = jnp.where(do_restart, 0, count)
         wipe = jnp.where(do_restart, 0.0, 1.0).astype(rdtype)
-        ps = cplx.scale_real(ps, wipe)
-        aps = cplx.scale_real(aps, wipe)
         ap_norms = ap_norms * wipe
 
         # store current direction in ring slot (GCR.h:286-287)

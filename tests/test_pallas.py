@@ -76,3 +76,21 @@ def test_pick_block_invariants():
         assert t % tb == 0 and z % zb == 0
         assert zb == z or zb % 8 == 0
         assert tb * zb * v <= max(32768, v)
+
+
+def test_bf16_links_accuracy():
+    """bf16 link storage (preconditioner-side traffic optimization) stays
+    within ~1e-2 relative of the f32 operator."""
+    from mgpgcr_tpu.ops.wilson_tpu import with_link_dtype
+
+    mesh, links_t, psi_t, ref = _problem((4, 4, 2, 4, 4, 3))
+    op32 = PallasWilsonDirac(
+        cplx.CF(links_t.re.astype(jnp.float32), links_t.im.astype(jnp.float32)),
+        mesh, 2, 4, interpret=True,
+    )
+    op16 = with_link_dtype(op32, jnp.bfloat16)
+    psi32 = cplx.CF(psi_t.re.astype(jnp.float32), psi_t.im.astype(jnp.float32))
+    a = cplx.to_numpy(op32.apply(psi32))
+    b = cplx.to_numpy(op16.apply(psi32))
+    rel = np.linalg.norm(b - a) / np.linalg.norm(a)
+    assert rel < 1e-2, rel
