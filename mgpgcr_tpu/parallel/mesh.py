@@ -60,8 +60,11 @@ def make_lattice_device_mesh(
     axis_sizes = tuple(int(s) for s in axis_sizes)
     if int(np.prod(axis_sizes)) != n_devices:
         raise ValueError(f"axis sizes {axis_sizes} do not use {n_devices} devices")
-    dev_array = np.asarray(devices).reshape(axis_sizes)
-    return Mesh(dev_array, tuple(axis_names))
+    # explicit object array: np.asarray on a device list can collapse
+    # (Device implements rich comparison/array hooks numpy misreads)
+    dev_array = np.empty(len(devices), dtype=object)
+    dev_array[:] = devices
+    return Mesh(dev_array.reshape(axis_sizes), tuple(axis_names))
 
 
 def spacetime_axis_names(
