@@ -106,6 +106,14 @@ def gcr_solve(
         alpha = _div_real(cplx.vdot(ap, r), ap2, rdtype)
         x = x + alpha * p
         r = r - alpha * ap
+        if params.residual_refresh:
+            r = jax.lax.cond(
+                it % params.residual_refresh == 0,
+                lambda x, r: rhs - apply_a(x),
+                lambda x, r: r,
+                x,
+                r,
+            )
         r2 = cplx.abs2_sum(r).astype(rdtype)
         hist = hist.at[it].set(
             jnp.sqrt(r2 / jnp.maximum(rhs_norm2_safe, _tiny(rdtype)))

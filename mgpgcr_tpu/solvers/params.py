@@ -26,6 +26,11 @@ class GCRParams:
     max_iter: int = 100
     restart: int = 0
     truncation: int = 0
+    # every N iterations, replace the recursively-updated residual with the
+    # true r = rhs - A x (one extra operator application per N): in f32 the
+    # recursion drifts from the true residual by ~1-2 orders near tol.
+    # 0 = off (bit-compatible with the reference recursion, GCR.h:233).
+    residual_refresh: int = 0
 
     def __post_init__(self):
         if self.restart and self.truncation:

@@ -194,3 +194,37 @@ def test_smallest_eigenpairs():
     # the first vector converges to the smallest |lambda| eigenpair
     np.testing.assert_allclose(abs(res.values[0]), w[0], rtol=1e-4)
     assert res.residuals[0] < 1e-3
+
+
+def test_residual_refresh_tightens_true_residual():
+    """In f32, periodic true-residual replacement keeps the solver's
+    convergence claim honest (recursive residual drifts ~1-2 orders)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from mgpgcr_tpu import cplx
+    from mgpgcr_tpu.mesh import LatticeMesh
+    from mgpgcr_tpu.ops.dirac import DiracOperator
+    from mgpgcr_tpu.ops.wilson import random_links_cf
+    from mgpgcr_tpu.ops.wilson_tpu import TpuWilsonDirac
+    from mgpgcr_tpu.solvers.gcr import gcr_solve
+    from mgpgcr_tpu.solvers.params import GCRParams
+
+    mesh = LatticeMesh((4, 4, 4, 4, 4, 3))
+    links = random_links_cf(0, mesh, jnp.float32)
+    d = TpuWilsonDirac.build(links, mesh)
+    a = DiracOperator(d, cplx.from_scalar(0.15, jnp.float32))
+    rhs = cplx.random(jax.random.PRNGKey(7), d.field_shape, jnp.float32)
+
+    def true_rel(res):
+        r = rhs - a.apply(res.x)
+        return float(jnp.sqrt(cplx.abs2_sum(r) / cplx.abs2_sum(rhs)))
+
+    plain = gcr_solve(a, rhs, GCRParams(tol=1e-6, max_iter=600, restart=5))
+    fresh = gcr_solve(
+        a, rhs, GCRParams(tol=1e-6, max_iter=600, restart=5, residual_refresh=10)
+    )
+    assert bool(fresh.converged)
+    assert true_rel(fresh) < 5e-6
+    assert true_rel(fresh) <= true_rel(plain) * 1.5  # at least as honest
