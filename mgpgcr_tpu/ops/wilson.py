@@ -56,12 +56,16 @@ def _blk(a, b, c, d):
 # the symmetry the reference's fixtures satisfy (test_hermiticity,
 # main.cpp:541-570) and the chiral-doubling MG setup relies on; it also
 # makes every hopping projector (1 -+ gamma_mu) rank 2 (half-spinor trick).
+# sigma_i belongs to spatial direction i (x=1, y=2, z=3); with the lattice
+# dim order (t, z, y, x) that is sigma3->z, sigma2->y, sigma1->x — verified
+# against the 4^4 fixture's coupling pattern (its x/y hops mix spins 0<->3,
+# z hops 0<->2, t hops are spin-diagonal with half killed).
 GAMMA = np.stack(
     [
         _blk(_I2, _Z2, _Z2, -_I2),  # gamma_t
-        _blk(_Z2, -1j * _S1, 1j * _S1, _Z2),  # gamma_z
+        _blk(_Z2, -1j * _S3, 1j * _S3, _Z2),  # gamma_z
         _blk(_Z2, -1j * _S2, 1j * _S2, _Z2),  # gamma_y
-        _blk(_Z2, -1j * _S3, 1j * _S3, _Z2),  # gamma_x
+        _blk(_Z2, -1j * _S1, 1j * _S1, _Z2),  # gamma_x
     ]
 )
 GAMMA5 = _blk(_Z2, _I2, _I2, _Z2)  # spinor swap 0<->2, 1<->3

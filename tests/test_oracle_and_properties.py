@@ -117,3 +117,18 @@ def test_multi_rhs_vmapped_solve(dirac44_ell):
     for i in range(3):
         r = batch[i] - a.apply(res.x[i])
         assert float(fields.norm(r) / fields.norm(batch[i])) < 2e-8
+
+
+def test_generator_matches_fixture_sparsity_pattern(dirac44_csr):
+    """The synthetic Wilson-Dirac generator produces the reference
+    fixture's sparsity structure EXACTLY — identical CSR indptr and
+    indices on the 4^4 lattice (the reference's probe_order experiment,
+    main.cpp:572-677, inverted: we verified the index order and gamma
+    assignment against the fixture's coupling pattern). Only the values
+    differ (different gauge configuration)."""
+    from mgpgcr_tpu.ops.wilson import materialize_csr, random_links
+
+    mesh = LatticeMesh((4, 4, 4, 4, 4, 3))
+    ours = materialize_csr(random_links(jax.random.PRNGKey(0), mesh), mesh)
+    np.testing.assert_array_equal(ours.indptr, dirac44_csr.indptr)
+    np.testing.assert_array_equal(ours.indices, dirac44_csr.indices)
