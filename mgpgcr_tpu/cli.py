@@ -195,6 +195,42 @@ def cmd_parse(args) -> int:
     return 0
 
 
+def cmd_generate(args) -> int:
+    """Synthesise a Wilson-Dirac hopping matrix fixture.
+
+    Replaces the reference's missing large blobs (8x8parsed.txt etc.,
+    .MISSING_LARGE_BLOBS): Haar-random SU(3) links -> explicit CSR with
+    the exact fixture sparsity structure, written in the reference's
+    parsed.txt cache format or ELL .npz."""
+    jax = _setup_jax("complex128", args.platform or "cpu")
+    from mgpgcr_tpu.mesh import LatticeMesh
+    from mgpgcr_tpu.ops.wilson import materialize_csr, random_links_np
+
+    dims = tuple(args.lattice)
+    mesh = LatticeMesh((*dims, 4, 3))
+    links = random_links_np(args.seed or 0, mesh)
+    m = materialize_csr(links, mesh)
+    if args.out.endswith(".npz"):
+        from mgpgcr_tpu.io.npz_cache import save_ell_npz
+
+        save_ell_npz(args.out, m.to_ell())
+    else:
+        from mgpgcr_tpu.io import write_parsed_txt
+
+        write_parsed_txt(args.out, m)
+    print(
+        json.dumps(
+            {
+                "lattice": list(dims),
+                "rows": m.shape[0],
+                "nnz": int(m.nnz),
+                "out": args.out,
+            }
+        )
+    )
+    return 0
+
+
 def cmd_info(args) -> int:
     jax = _setup_jax("complex64", args.platform)
     devs = jax.devices()
@@ -304,6 +340,15 @@ def main(argv=None) -> int:
     p.add_argument("mtx")
     p.add_argument("out")
     p.set_defaults(fn=cmd_parse)
+
+    p = sub.add_parser(
+        "generate", help="synthesise a Wilson-Dirac fixture (parsed.txt/.npz)"
+    )
+    p.add_argument("out")
+    p.add_argument("--lattice", type=int, nargs=4, default=[8, 8, 8, 8])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--platform")
+    p.set_defaults(fn=cmd_generate)
 
     p = sub.add_parser("info", help="backend/device report")
     p.add_argument("--platform")
