@@ -131,14 +131,16 @@ def test_toml_config(tmp_path):
 
 def test_generate_fixture(tmp_path):
     """Synthetic fixture generation: the replacement for the reference's
-    missing 8x8parsed.txt blob (round 4^4-sized for test speed)."""
+    missing 8x8parsed.txt blob (4^4-sized for test speed; extents of 2
+    would merge the ±mu neighbours and change the nnz count)."""
     out = tmp_path / "gen.txt"
-    r = _run(["generate", str(out), "--lattice", "2", "2", "2", "2", "--seed", "3"])
+    r = _run(["generate", str(out), "--lattice", "4", "4", "4", "4", "--seed", "3"])
     assert r.returncode == 0, r.stderr
     info = json.loads(r.stdout.strip().splitlines()[-1])
-    assert info["rows"] == 2**4 * 12 and info["nnz"] == info["rows"] * 39
+    n = 4**4 * 12
+    assert info["rows"] == n and info["nnz"] == n * 39
 
     from mgpgcr_tpu.io import read_parsed_txt
 
     m = read_parsed_txt(out)
-    assert m.shape == (192, 192) and m.nnz == 192 * 39
+    assert m.shape == (n, n) and m.nnz == n * 39
