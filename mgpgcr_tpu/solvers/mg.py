@@ -94,6 +94,10 @@ class MGPreconditioner(LinearOperator):
     params: MGParams
     layout: str = "flat"  # "flat" canonical complex | "tpu" CF (4,3,T,Z,V)
     coarse_precond: "MGPreconditioner | None" = None  # next level (n_level > 2)
+    # optional cheaper operator for the smoother solves only (e.g. bf16
+    # link storage, ops/wilson_tpu.with_link_dtype): preconditioner-side
+    # accuracy is forgiving, the outer residual still uses the exact a
+    a_smooth: "LinearOperator | None" = None
 
     @property
     def shape(self) -> tuple[int, int]:
@@ -109,9 +113,10 @@ class MGPreconditioner(LinearOperator):
         sp = self.params.smoother_gcr
         if sp is None or n == 0:
             return x
+        a = self.a_smooth if self.a_smooth is not None else self.a
         for _ in range(n):
-            r = rhs - self.a.apply(x)
-            x = x + gcr_solve(self.a, r, sp).x
+            r = rhs - a.apply(x)
+            x = x + gcr_solve(a, r, sp).x
         return x
 
     def apply(self, r):
@@ -144,7 +149,7 @@ class MGPreconditioner(LinearOperator):
 
 jax.tree_util.register_dataclass(
     MGPreconditioner,
-    data_fields=["a", "q", "coarse", "coarse_precond"],
+    data_fields=["a", "q", "coarse", "coarse_precond", "a_smooth"],
     meta_fields=["block_map", "params", "layout"],
 )
 
@@ -282,6 +287,7 @@ def setup_mg(
     params: MGParams,
     layout: str = "flat",
     gamma5_fn=None,
+    smoother_operator: LinearOperator | None = None,
     _level: int = 1,
     _cf: bool = False,
 ) -> MGPreconditioner:
@@ -343,6 +349,7 @@ def setup_mg(
         params=params,
         layout=layout,
         coarse_precond=coarse_precond,
+        a_smooth=smoother_operator,
     )
 
 

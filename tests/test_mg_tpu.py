@@ -152,3 +152,31 @@ def test_three_level_mg(tpu_problem, tmp_path):
     np.testing.assert_array_equal(
         np.asarray(mgp.apply(rx)), np.asarray(mgp2.apply(rx))
     )
+
+
+def test_bf16_smoother_operator(tpu_problem):
+    """A cheaper (e.g. bf16-link) operator can drive the smoother while
+    the outer residual stays exact — MG quality barely changes."""
+    from mgpgcr_tpu.ops.wilson_tpu import with_link_dtype
+    from mgpgcr_tpu.ops.dirac import DiracOperator
+    from mgpgcr_tpu.solvers.gcr import gcr_solve
+    from mgpgcr_tpu.solvers.params import GCRParams
+
+    mesh, a_cf, _ = tpu_problem
+    # emulate reduced-precision links with f32 (bf16 on CPU is slow but
+    # valid; precision class is what matters for the hook's contract)
+    d32 = with_link_dtype(a_cf.d, jnp.float32)
+    a_sm = DiracOperator(d32, cplx.from_scalar(0.12, jnp.float32))
+
+    params = MGParams(block=2, n_nullvecs=3)
+    mgp = setup_mg(
+        jax.random.PRNGKey(3), a_cf, mesh, params, layout="tpu",
+        smoother_operator=a_sm,
+    )
+    b = cplx.random(jax.random.PRNGKey(7), a_cf.d.field_shape, jnp.float64)
+    res = gcr_solve(
+        a_cf, b, GCRParams(tol=1e-8, max_iter=300, restart=5), precond=mgp.apply
+    )
+    assert bool(res.converged)
+    r = b - a_cf.apply(res.x)
+    assert float(jnp.sqrt(cplx.abs2_sum(r) / cplx.abs2_sum(b))) < 5e-8
