@@ -118,5 +118,17 @@ def main() -> None:
     )
 
 
+def _main_with_retry() -> None:
+    # the tunneled TPU backend occasionally fails a fetch with a transient
+    # FAILED_PRECONDITION/UNIMPLEMENTED right after another process used
+    # the chip; one retry after a pause recovers it (observed on v5e)
+    try:
+        main()
+    except Exception as e:  # pragma: no cover
+        print(f"# first attempt failed ({type(e).__name__}); retrying", file=sys.stderr)
+        time.sleep(20)
+        main()
+
+
 if __name__ == "__main__":
-    main()
+    _main_with_retry()
