@@ -19,7 +19,7 @@ must be (multiples of 8, multiples of 128) or equal the full array dims):
 
 Within a block, y/x shifts are static-slice rolls over the merged Y*X axis
 (exact: the full y-x plane is resident). The spin/colour arithmetic is
-shared with the XLA path (colour_mul / spin_combine / needed_spins from
+shared with the XLA path (colour_mul / spin_matmul from
 ops/wilson_tpu.py) on ``cplx.CF`` pairs — split re/im is mandatory in
 Pallas (no complex registers).
 

@@ -64,12 +64,6 @@ def sum_cf(terms):
     return acc
 
 
-def needed_spins(spin_mat: np.ndarray) -> list:
-    """Spin columns of 1 -+ gamma_mu with any nonzero entry — the only
-    components a hop reads."""
-    return [t for t in range(4) if np.any(np.abs(spin_mat[:, t]) > 1e-14)]
-
-
 def spin_matmul(m: np.ndarray, slabs: list, out: list | None = None) -> list:
     """Apply a small spin matrix with trace-time scalar coefficients:
     result[r] (+)= sum_c m[r, c] * slabs[c], skipping structural zeros."""
@@ -102,22 +96,6 @@ def colour_mul(u, slabs: list, dagger: bool) -> list:
             ]
             rows.append(sum_cf(terms))
         out.append(cplx.stack(rows, axis=0))
-    return out
-
-
-def spin_combine(spin_mat, needed: list, slabs: list, out: list) -> list:
-    """out[s] += sum_j spin_mat[s, needed[j]] * slabs[j]; the gamma
-    coefficients are scalars (0, +-1, +-2, +-i) applied at trace time."""
-    eps = 1e-14
-    for s in range(4):
-        acc = out[s]
-        for t, slab in zip(needed, slabs):
-            c = complex(spin_mat[s, t])
-            if abs(c) < eps:
-                continue
-            term = slab if c == 1 else c * slab
-            acc = term if acc is None else acc + term
-        out[s] = acc
     return out
 
 
@@ -288,7 +266,7 @@ class TpuWilsonDirac(LinearOperator):
 
     # ---- apply ---------------------------------------------------------
     # Shared unrolled spin/colour math lives in module-level colour_mul /
-    # spin_combine (also used by the fused Pallas kernel, ops/pallas/).
+    # spin_matmul (also used by the fused Pallas kernel, ops/pallas/).
     # Colour multiplication commutes with the site shift, so the backward
     # hop shifts the *product* U^dag psi once instead of shifting links and
     # field separately.
