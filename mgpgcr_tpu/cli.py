@@ -115,8 +115,20 @@ def _solve_once(cfg, jax, logger):
     if cfg.mg is not None:
         if mesh is None:
             raise SystemExit("MG requires a lattice mesh (synthetic or inferable)")
+        # layout follows the operator representation: synthetic cf lattice
+        # problems use the TPU field layout (4,3,T,Z,Y*X); ingested-matrix
+        # problems use flat fields (CF pairs when the dtype is cf*)
+        cf = cfg.problem.dtype.startswith("cf")
+        layout = "tpu" if (cf and not cfg.problem.matrix) else "flat"
         with Timer(logger, "mg_setup") as t:
-            mgp = setup_mg(jax.random.PRNGKey(cfg.problem.seed + 7), a, mesh, cfg.mg)
+            mgp = setup_mg(
+                jax.random.PRNGKey(cfg.problem.seed + 7),
+                a,
+                mesh,
+                cfg.mg,
+                layout=layout,
+                _cf=cf and layout == "flat",
+            )
             Timer.block_on(jax.tree_util.tree_leaves(mgp.coarse))
         precond = mgp.apply
         setup_s = t.elapsed

@@ -309,6 +309,12 @@ def einsum2(subscripts: str, a, b):
     return jnp.einsum(subscripts, a, b)
 
 
+def sum_axis(x, axis):
+    if isinstance(x, CF):
+        return CF(jnp.sum(x.re, axis=axis), jnp.sum(x.im, axis=axis))
+    return jnp.sum(x, axis=axis)
+
+
 def roll(x, shift, axis):
     if isinstance(x, CF):
         return CF(jnp.roll(x.re, shift, axis), jnp.roll(x.im, shift, axis))

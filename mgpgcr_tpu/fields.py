@@ -71,9 +71,11 @@ def gamma5(x: jnp.ndarray, mesh: LatticeMesh | None = None) -> jnp.ndarray:
     This is gamma_5 in the Dirac basis, where gamma_5 = [[0, I], [I, 0]] in
     2x2 spinor blocks. Accepts flat (with mesh) or lattice-shaped fields.
     """
+    from mgpgcr_tpu import cplx
+
     xs, lead = _to_spin(x, mesh)
     ns = xs.ndim - 2  # spinor axis position
-    out = jnp.take(xs, jnp.array([2, 3, 0, 1]), axis=ns)
+    out = cplx.take(xs, jnp.array([2, 3, 0, 1]), axis=ns)
     if lead is not None:
         out = out.reshape(x.shape)
     return out

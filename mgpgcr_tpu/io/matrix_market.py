@@ -19,10 +19,14 @@ def read_matrix_market(path: str | os.PathLike) -> COOMatrix:
 
     fast = native_parse.read_mtx_native(str(path))
     if fast is not None:
-        rows, cols, vals, shape, symmetric, hermitian = fast
+        rows, cols, vals, shape, symmetric, hermitian, skew = fast
         if symmetric:
             off = rows != cols
-            mirror = np.conj(vals[off]) if hermitian else vals[off]
+            mirror = vals[off]
+            if hermitian:
+                mirror = np.conj(mirror)
+            elif skew:
+                mirror = -mirror
             rows, cols = (
                 np.concatenate([rows, cols[off]]),
                 np.concatenate([cols, rows[off]]),
@@ -38,10 +42,11 @@ def read_matrix_market(path: str | os.PathLike) -> COOMatrix:
             for cand in ("complex", "real", "integer", "pattern"):
                 if cand in toks:
                     field = cand
-            symmetric = "symmetric" in toks or "hermitian" in toks
+            skew = "skew-symmetric" in toks
+            symmetric = "symmetric" in toks or "hermitian" in toks or skew
             hermitian = "hermitian" in toks
         else:
-            symmetric = hermitian = False
+            symmetric = hermitian = skew = False
             f.seek(0)
         line = f.readline()
         while line.lstrip().startswith("%"):
@@ -64,7 +69,11 @@ def read_matrix_market(path: str | os.PathLike) -> COOMatrix:
 
     if symmetric:
         off = rows != cols
-        mirror = np.conj(vals[off]) if hermitian else vals[off]
+        mirror = vals[off]
+        if hermitian:
+            mirror = np.conj(mirror)
+        elif skew:
+            mirror = -mirror
         rows, cols, vals = (
             np.concatenate([rows, cols[off]]),
             np.concatenate([cols, rows[off]]),

@@ -38,6 +38,14 @@ def _lib():
                 lib = ctypes.CDLL(cand)
             except OSError:
                 continue
+            # refuse stale builds with a different exported ABI (the
+            # library is never committed; `make -C native` rebuilds it)
+            try:
+                lib.mgpgcr_io_abi_version.restype = ctypes.c_longlong
+                if lib.mgpgcr_io_abi_version() != 2:
+                    continue
+            except AttributeError:
+                continue
             ll3 = ctypes.POINTER(ctypes.c_longlong)
             lib.parse_parsed_txt_header.restype = ctypes.c_int
             lib.parse_parsed_txt_header.argtypes = [ctypes.c_char_p, ll3]
@@ -100,12 +108,12 @@ def read_parsed_txt_native(path: str):
 
 
 def read_mtx_native(path: str):
-    """Returns (rows, cols, vals, shape, symmetric, hermitian) or None."""
+    """Returns (rows, cols, vals, shape, symmetric, hermitian, skew) or None."""
     lib = _lib()
     if lib is None:
         return None
     hdr = (ctypes.c_longlong * 4)()
-    sym = (ctypes.c_longlong * 2)()
+    sym = (ctypes.c_longlong * 3)()
     if lib.parse_mtx_header(path.encode(), hdr, sym) != 0:
         return None
     nrow, ncol, nnz, field = (int(hdr[i]) for i in range(4))
@@ -118,7 +126,7 @@ def read_mtx_native(path: str):
         vals = data_ri[0::2] + 1j * data_ri[1::2]
     else:
         vals = data_ri[0::2].copy()
-    return rows, cols, vals, (nrow, ncol), bool(sym[0]), bool(sym[1])
+    return rows, cols, vals, (nrow, ncol), bool(sym[0]), bool(sym[1]), bool(sym[2])
 
 
 def write_parsed_txt_native(path: str, indptr, indices, data, shape) -> bool:

@@ -38,13 +38,12 @@ class ELLOperator(LinearOperator):
         return int(self.vals.shape[0] * self.vals.shape[1])
 
     def apply(self, x: jnp.ndarray) -> jnp.ndarray:
-        """SpMV / SpMM. x: (n_cols,) or (..., n_cols) stacked fields."""
-        if x.ndim == 1:
-            gathered = x[self.cols]  # (n_rows, K)
-            return jnp.sum(self.vals * gathered, axis=-1)
-        # stacked: gather once per batch via take along flat index
-        gathered = x[..., self.cols]  # (..., n_rows, K)
-        return jnp.sum(self.vals * gathered, axis=-1)
+        """SpMV / SpMM. x: (n_cols,) or (..., n_cols) stacked fields;
+        complex arrays or split re/im ``cplx.CF`` pairs."""
+        from mgpgcr_tpu import cplx
+
+        gathered = x[self.cols] if x.ndim == 1 else x[..., self.cols]
+        return cplx.sum_axis(self.vals * gathered, -1)
 
     def scale(self, s) -> "ELLOperator":
         """Scalar multiply (reference Sparse scalar scale, Operator.h:538-544)."""

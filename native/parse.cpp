@@ -63,6 +63,11 @@ inline const char* parse_d(const char* p, const char* end, double* out) {
 
 extern "C" {
 
+// Bumped whenever an exported signature changes; the ctypes wrapper
+// (mgpgcr_tpu/io/native_parse.py) refuses mismatched builds and falls back
+// to the numpy readers instead of calling with a stale ABI.
+long long mgpgcr_io_abi_version() { return 2; }
+
 // ---- reference CSR cache format ("parsed.txt", Parse.cpp:39-59) ----
 
 // hdr_out: [nrow, ncol, nnz]. Returns 0 on success.
@@ -114,12 +119,15 @@ int parse_parsed_txt_fill(const char* path, long long nrow, long long nnz,
 // ---- MatrixMarket coordinate format (Parse.cpp:10-35) ----
 
 // hdr_out: [nrow, ncol, nnz, field] with field 0=real 1=complex 2=integer
-// 3=pattern; sym_out: [symmetric, hermitian]. Returns 0 on success.
+// 3=pattern; sym_out: [symmetric, hermitian, skew]. "skew-symmetric" must
+// be checked before "symmetric" (strstr would match the substring) and its
+// mirrored off-diagonal values are negated, not copied. Returns 0 on
+// success.
 int parse_mtx_header(const char* path, long long* hdr_out, long long* sym_out) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return 1;
   char line[4096];
-  long long field = 0, symmetric = 0, hermitian = 0;
+  long long field = 0, symmetric = 0, hermitian = 0, skew = 0;
   bool first = true;
   while (std::fgets(line, sizeof line, f)) {
     if (first && std::strncmp(line, "%%MatrixMarket", 14) == 0) {
@@ -127,7 +135,8 @@ int parse_mtx_header(const char* path, long long* hdr_out, long long* sym_out) {
       if (std::strstr(line, "complex")) field = 1;
       else if (std::strstr(line, "integer")) field = 2;
       else if (std::strstr(line, "pattern")) field = 3;
-      if (std::strstr(line, "symmetric")) symmetric = 1;
+      if (std::strstr(line, "skew-symmetric")) { symmetric = 1; skew = 1; }
+      else if (std::strstr(line, "symmetric")) symmetric = 1;
       if (std::strstr(line, "hermitian")) { symmetric = 1; hermitian = 1; }
       first = false;
       continue;
@@ -147,6 +156,7 @@ int parse_mtx_header(const char* path, long long* hdr_out, long long* sym_out) {
     hdr_out[3] = field;
     sym_out[0] = symmetric;
     sym_out[1] = hermitian;
+    sym_out[2] = skew;
     std::fclose(f);
     return 0;
   }

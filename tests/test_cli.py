@@ -95,6 +95,43 @@ def test_parse_roundtrip(tmp_path):
     np.testing.assert_allclose(m.data, [1.0 + 0.5j, -2.0 + 0j])
 
 
+def test_solve_mg_cf_lattice():
+    """--mg with the TPU representation (cf32 lattice problem): the MG setup
+    must use the TPU field layout (advisor finding: it previously drew a
+    flat complex b0 and crashed against the TpuWilsonDirac operator)."""
+    r = _run(
+        [
+            "solve", "--platform", "cpu",
+            "--lattice", "4", "4", "4", "4",
+            "--dtype", "cf32", "--k", "0.10",
+            "--tol", "1e-5", "--max-iter", "300", "--restart", "8",
+            "--mg", "--block", "2", "--nullvecs", "2",
+        ],
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["converged"] and out["indep_relres"] < 1e-4
+
+
+@pytest.mark.skipif(not os.path.exists(FIXTURE), reason="fixture unavailable")
+def test_solve_mg_cf_matrix():
+    """--mg with cf64 flat fields on the ingested fixture matrix."""
+    r = _run(
+        [
+            "solve", "--platform", "cpu",
+            "--matrix", FIXTURE,
+            "--dtype", "cf64", "--k", "0.10",
+            "--tol", "1e-6", "--max-iter", "300", "--restart", "8",
+            "--mg", "--block", "2", "--nullvecs", "2",
+        ],
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["converged"] and out["indep_relres"] < 1e-5
+
+
 def test_config_roundtrip(tmp_path):
     from mgpgcr_tpu.config import (
         RunConfig,

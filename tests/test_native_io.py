@@ -103,3 +103,48 @@ def test_mtx_native_parity(native, tmp_path):
     np.testing.assert_array_equal(np.asarray(got.cols), np.asarray(ref.cols))
     np.testing.assert_array_equal(np.asarray(got.vals), np.asarray(ref.vals))
     assert got.shape == ref.shape
+
+
+@pytest.mark.parametrize(
+    "kind", ["general", "symmetric", "skew-symmetric", "hermitian"]
+)
+def test_mtx_symmetry_kinds(native, tmp_path, kind):
+    """Mirroring semantics per MatrixMarket symmetry kind, native and
+    numpy-fallback paths agreeing with a dense oracle. In particular
+    skew-symmetric must negate the mirrored values (a substring match on
+    'symmetric' silently mis-mirrors it)."""
+    from mgpgcr_tpu.io.matrix_market import read_matrix_market
+    from mgpgcr_tpu.io import native_parse
+
+    entries = [(1, 1, 0.0, 0.0), (2, 1, 1.5, -0.5), (3, 2, -2.0, 1.0)]
+    if kind in ("skew-symmetric",):
+        entries = entries[1:]  # no diagonal for skew
+    p = tmp_path / "m.mtx"
+    p.write_text(
+        f"%%MatrixMarket matrix coordinate complex {kind}\n"
+        f"3 3 {len(entries)}\n"
+        + "".join(f"{r} {c} {re} {im}\n" for r, c, re, im in entries)
+    )
+
+    dense = np.zeros((3, 3), dtype=np.complex128)
+    for r, c, re, im in entries:
+        dense[r - 1, c - 1] = re + 1j * im
+        if r != c:
+            if kind == "symmetric":
+                dense[c - 1, r - 1] = re + 1j * im
+            elif kind == "skew-symmetric":
+                dense[c - 1, r - 1] = -(re + 1j * im)
+            elif kind == "hermitian":
+                dense[c - 1, r - 1] = re - 1j * im
+
+    for use_native in (True, False):
+        saved = (native_parse._LIB, native_parse._TRIED)
+        if not use_native:
+            native_parse._LIB, native_parse._TRIED = None, True
+        try:
+            m = read_matrix_market(p)
+        finally:
+            native_parse._LIB, native_parse._TRIED = saved
+        got = np.zeros((3, 3), dtype=np.complex128)
+        got[np.asarray(m.rows), np.asarray(m.cols)] = np.asarray(m.vals)
+        np.testing.assert_allclose(got, dense, atol=0, err_msg=f"{kind} native={use_native}")
