@@ -42,11 +42,10 @@ from mgpgcr_tpu import cplx
 from mgpgcr_tpu.mesh import LatticeMesh
 from mgpgcr_tpu.ops.base import LinearOperator, operator_dataclass
 from mgpgcr_tpu.ops.wilson_tpu import (
-    FACTOR_MINUS,
-    FACTOR_PLUS,
+    accumulate_half,
     colour_mul,
     links_to_tpu,
-    spin_matmul,
+    project_half,
 )
 
 _ZHALO = 8  # minimum legal z-block thickness for halo views
@@ -133,36 +132,35 @@ def _dslash_kernel(*refs, y: int, xx: int, z_blocked: bool):
     psi_slabs = [psi[s] for s in range(4)]
     out = [None] * 4
     for mu in range(4):
-        (qm, rm), (qp, rp) = FACTOR_MINUS[mu], FACTOR_PLUS[mu]
         u_mu = u[mu]  # (3, 3, TB, ZB, V)
 
-        # ---- forward hop: R_- (U(x) . Q_- psi(x + mu)) ----
+        # ---- forward hop: (1 - gamma_mu) U(x) psi(x + mu) ----
         # project to the 2-spin half field, then shift/colour-mul half the
         # data. slab axes: (colour 0, t 1, z 2, v 3)
-        h = spin_matmul(qm, psi_slabs)
+        h = project_half(psi_slabs, mu, True)
         if mu == 0:
             tb_ = psi.shape[2]
-            h_halo = spin_matmul(qm, [psi_tp[s] for s in range(4)])
+            h_halo = project_half([psi_tp[s] for s in range(4)], mu, True)
             h = [
                 hh if tb_ == 1 else _cf_cat([_cf_slice(hq, 1, tb_, 1), hh], 1)
                 for hq, hh in zip(h, h_halo)
             ]
         elif mu == 1 and z_blocked:
             zb_ = psi.shape[3]
-            h_halo = spin_matmul(qm, [psi_zp[s] for s in range(4)])
+            h_halo = project_half([psi_zp[s] for s in range(4)], mu, True)
             h = [
                 hh if zb_ == 1 else _cf_cat([_cf_slice(hq, 1, zb_, 2), hh], 2)
                 for hq, hh in zip(h, h_halo)
             ]
         else:
             h = [shift_local(hq, mu, True) for hq in h]
-        uh = colour_mul(u_mu, h, dagger=False)
-        out = spin_matmul(rm, uh, out)
+        g = colour_mul(u_mu, h, dagger=False)
+        out = accumulate_half(out, g, mu, True)
 
-        # ---- backward hop: R_+ shift_bwd(U^dag(x) . Q_+ psi(x)) ----
-        w = colour_mul(u_mu, spin_matmul(qp, psi_slabs), dagger=True)
+        # ---- backward hop: (1 + gamma_mu) shift_bwd(U^dag(x) psi(x)) ----
+        w = colour_mul(u_mu, project_half(psi_slabs, mu, False), dagger=True)
         if mu == 0:
-            hb = spin_matmul(qp, [psi_tm[s] for s in range(4)])
+            hb = project_half([psi_tm[s] for s in range(4)], mu, False)
             w_halo = colour_mul(ut_m, hb, dagger=True)
             w = [
                 wh if wc.shape[1] == 1
@@ -170,7 +168,7 @@ def _dslash_kernel(*refs, y: int, xx: int, z_blocked: bool):
                 for wh, wc in zip(w_halo, w)
             ]
         elif mu == 1 and z_blocked:
-            hb = spin_matmul(qp, [psi_zm[s] for s in range(4)])
+            hb = project_half([psi_zm[s] for s in range(4)], mu, False)
             w_halo = colour_mul(uz_m, hb, dagger=True)
             w = [
                 wh if wc.shape[2] == 1
@@ -179,7 +177,7 @@ def _dslash_kernel(*refs, y: int, xx: int, z_blocked: bool):
             ]
         else:
             w = [shift_local(wq, mu, False) for wq in w]
-        out = spin_matmul(rp, w, out)
+        out = accumulate_half(out, w, mu, False)
 
     res = cplx.stack(out, axis=0)
     out_re[...] = res.re

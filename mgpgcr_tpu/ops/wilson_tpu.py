@@ -35,26 +35,96 @@ from mgpgcr_tpu.mesh import LatticeMesh
 from mgpgcr_tpu.ops.base import LinearOperator, operator_dataclass
 from mgpgcr_tpu.ops.wilson import GAMMA
 
-# hopping spin matrices 1 -+ gamma_mu — with Euclidean (Hermitian) gammas
-# these are twice rank-2 projectors, so each factors exactly as
-# (1 -+ gamma_mu) = R @ Q with Q (2,4), R (4,2): the half-spinor trick.
-# Each hop projects to 2 spin components before the SU(3) multiply and the
-# site shift, halving both the colour arithmetic and the shifted traffic.
-_PM = [np.eye(4) - GAMMA[mu] for mu in range(4)]
-_PP = [np.eye(4) + GAMMA[mu] for mu in range(4)]
+# Half-spinor hop algebra. Each hopping factor (1 -+ gamma_mu) has rank 2,
+# so a hop projects psi to a 2-spin half field before the SU(3) colour
+# multiply / site shift and reconstructs after — halving the dominant
+# arithmetic and the shifted traffic. In the Dirac basis every projection /
+# reconstruction coefficient is +-1 or +-i, so the whole spin algebra costs
+# only adds, subtracts, and re/im swaps (no complex scalar multiplies) —
+# the TPU VPU is the Dslash's compute bottleneck, so this matters as much
+# as HBM traffic. Derivation: gamma_mu = [[0, A], [A^H, 0]] with A = -i
+# sigma_mu and A^H A = I gives
+#   (1 - gamma_mu) psi = (h, -A^H h) with h = psi' - A psi''
+#   (1 + gamma_mu) psi = (h, +A^H h) with h = psi' + A psi''
+# (psi' = spins 0,1; psi'' = spins 2,3); the temporal projectors are
+# diagonal: (1 - gamma_t) = diag(0,0,2,2), (1 + gamma_t) = diag(2,2,0,0).
+
+# spatial table: mu (1=z, 2=y, 3=x) -> (j0, c0, j1, c1, k2, r2, k3, r3),
+# for the *forward* factor (1 - gamma_mu):
+#   h0 = psi0 + c0 psi_{j0},  h1 = psi1 + c1 psi_{j1}
+#   out2 += r2 g_{k2},        out3 += r3 g_{k3}         (g = U . h)
+# backward (1 + gamma_mu) flips the sign of every coefficient.
+_J = 1j
+HALF_SPINOR = {
+    1: (2, _J, 3, -_J, 0, -_J, 1, _J),
+    2: (3, 1, 2, -1, 1, -1, 0, 1),
+    3: (3, _J, 2, _J, 1, -_J, 0, -_J),
+}
 
 
-def _rank2_factor(m: np.ndarray):
-    """Hermitian PSD m with eigenvalues {0, 2} -> (Q, R), m = R @ Q."""
-    w, v = np.linalg.eigh(m)
-    keep = w > 1.0
-    assert keep.sum() == 2, "hopping projector must be rank 2"
-    vv = v[:, keep]  # (4, 2) orthonormal
-    return vv.conj().T, 2.0 * vv  # Q (2,4), R (4,2)
+def add_unit(a, c, b):
+    """a + c * b for unit coefficient c in {1, -1, i, -i}; a may be None
+    (pure accumulate-init). On split re/im the +-i cases are re/im swaps
+    folded into the add/sub — zero extra arithmetic."""
+    if cplx.is_cf(b):
+        if a is None:
+            if c == 1:
+                return b
+            if c == -1:
+                return -b
+            if c == _J:
+                return cplx.CF(-b.im, b.re)
+            return cplx.CF(b.im, -b.re)
+        if c == 1:
+            return a + b
+        if c == -1:
+            return a - b
+        if c == _J:
+            return cplx.CF(a.re - b.im, a.im + b.re)
+        return cplx.CF(a.re + b.im, a.im - b.re)
+    term = b if c == 1 else c * b
+    return term if a is None else a + term
 
 
-FACTOR_MINUS = [_rank2_factor(m) for m in _PM]
-FACTOR_PLUS = [_rank2_factor(m) for m in _PP]
+def add_scaled(a, s: float, b):
+    """a + s * b for a real scalar s (fma on the VPU); a may be None."""
+    if cplx.is_cf(b):
+        if a is None:
+            return cplx.CF(s * b.re, s * b.im)
+        return cplx.CF(a.re + s * b.re, a.im + s * b.im)
+    return s * b if a is None else a + s * b
+
+
+def project_half(psi_slabs: list, mu: int, fwd: bool) -> list:
+    """(1 -+ gamma_mu) psi -> independent 2-spin half field [h0, h1]."""
+    if mu == 0:
+        lo = 2 if fwd else 0
+        return [psi_slabs[lo], psi_slabs[lo + 1]]
+    j0, c0, j1, c1, _, _, _, _ = HALF_SPINOR[mu]
+    if not fwd:
+        c0, c1 = -c0, -c1
+    return [
+        add_unit(psi_slabs[0], c0, psi_slabs[j0]),
+        add_unit(psi_slabs[1], c1, psi_slabs[j1]),
+    ]
+
+
+def accumulate_half(out: list, g: list, mu: int, fwd: bool) -> list:
+    """out += reconstruction of the hop's 4-spin contribution from the
+    colour-multiplied half field g = U^(H) . h."""
+    if mu == 0:
+        base = 2 if fwd else 0
+        out[base] = add_scaled(out[base], 2.0, g[0])
+        out[base + 1] = add_scaled(out[base + 1], 2.0, g[1])
+        return out
+    _, _, _, _, k2, r2, k3, r3 = HALF_SPINOR[mu]
+    if not fwd:
+        r2, r3 = -r2, -r3
+    out[0] = g[0] if out[0] is None else out[0] + g[0]
+    out[1] = g[1] if out[1] is None else out[1] + g[1]
+    out[2] = add_unit(out[2], r2, g[k2])
+    out[3] = add_unit(out[3], r3, g[k3])
+    return out
 
 
 def sum_cf(terms):
@@ -62,24 +132,6 @@ def sum_cf(terms):
     for t in terms[1:]:
         acc = acc + t
     return acc
-
-
-def spin_matmul(m: np.ndarray, slabs: list, out: list | None = None) -> list:
-    """Apply a small spin matrix with trace-time scalar coefficients:
-    result[r] (+)= sum_c m[r, c] * slabs[c], skipping structural zeros."""
-    eps = 1e-14
-    rows = m.shape[0]
-    result = out if out is not None else [None] * rows
-    for r in range(rows):
-        acc = result[r]
-        for c_idx, slab in enumerate(slabs):
-            coef = complex(m[r, c_idx])
-            if abs(coef) < eps:
-                continue
-            term = slab if coef == 1 else coef * slab
-            acc = term if acc is None else acc + term
-        result[r] = acc
-    return result
 
 
 def colour_mul(u, slabs: list, dagger: bool) -> list:
@@ -265,11 +317,11 @@ class TpuWilsonDirac(LinearOperator):
         return cplx.where(mask_first, cplx.roll(v, -(xx - 1), ax), cplx.roll(v, 1, ax))
 
     # ---- apply ---------------------------------------------------------
-    # Shared unrolled spin/colour math lives in module-level colour_mul /
-    # spin_matmul (also used by the fused Pallas kernel, ops/pallas/).
-    # Colour multiplication commutes with the site shift, so the backward
-    # hop shifts the *product* U^dag psi once instead of shifting links and
-    # field separately.
+    # Shared unrolled spin/colour math lives in module-level project_half /
+    # colour_mul / accumulate_half (also used by the fused Pallas kernel,
+    # ops/pallas/). Colour multiplication commutes with the site shift, so
+    # the backward hop shifts the *product* U^dag psi once instead of
+    # shifting links and field separately.
 
     def apply(self, psi):
         """D psi; psi: (4, 3, T, Z, Y*X) as cplx.CF (or complex array);
@@ -291,21 +343,20 @@ class TpuWilsonDirac(LinearOperator):
         out = [None] * 4
         for mu in range(4):
             u = links[mu]  # (3, 3, T, Z, V)
-            (qm, rm), (qp, rp) = FACTOR_MINUS[mu], FACTOR_PLUS[mu]
 
-            # forward hop: R_- (U(x) . Q_- psi(x + mu)) — project to the
+            # forward hop: (1 - gamma_mu) U(x) psi(x + mu) — project to the
             # 2-spin half field first, then shift/colour-multiply half the
             # data (projection commutes with both)
-            h = spin_matmul(qm, psi_slabs)
+            h = project_half(psi_slabs, mu, True)
             h = [self._shift(hq, mu, True) for hq in h]
-            uh = colour_mul(u, h, dagger=False)
-            out = spin_matmul(rm, uh, out)
+            g = colour_mul(u, h, dagger=False)
+            out = accumulate_half(out, g, mu, True)
 
-            # backward hop: R_+ shift_bwd(U^dag(x) . Q_+ psi(x))
-            h = spin_matmul(qp, psi_slabs)
+            # backward hop: (1 + gamma_mu) shift_bwd(U^dag(x) psi(x))
+            h = project_half(psi_slabs, mu, False)
             w = colour_mul(u, h, dagger=True)
             w = [self._shift(wq, mu, False) for wq in w]
-            out = spin_matmul(rp, w, out)
+            out = accumulate_half(out, w, mu, False)
         return cplx.stack(out, axis=0)
 
     # ---- convenience ----------------------------------------------------
