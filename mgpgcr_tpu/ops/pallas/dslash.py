@@ -184,6 +184,160 @@ def _dslash_kernel(*refs, y: int, xx: int, z_blocked: bool):
     out_im[...] = res.im
 
 
+def _dslash_stream_kernel(
+    pn_re, pn_im,  # psi plane (i+1) % nt          (4, 3, 1, Z, V)
+    pf_re, pf_im,  # psi plane 0 (constant window)  (4, 3, 1, Z, V)
+    pq_re, pq_im,  # psi plane nt-1 (constant)      (4, 3, 1, Z, V)
+    uc_re, uc_im,  # links plane i                  (4, 3, 3, 1, Z, V)
+    ul_re, ul_im,  # U_t plane nt-1 (constant)      (1, 3, 3, 1, Z, V)
+    out_re, out_im,  # output plane i               (4, 3, 1, Z, V)
+    ps_re, ps_im,  # carried psi planes             (2, 4, 3, 1, Z, V)
+    us_re, us_im,  # carried U_t planes             (2, 3, 3, 1, Z, V)
+    *,
+    y: int,
+    xx: int,
+):
+    """t-plane streaming Dslash: grid over t, one output plane per step.
+
+    Each step loads exactly one new psi plane (the t+1 lookahead) and one
+    links plane; the center and t-1 planes are carried in VMEM scratch
+    from earlier steps (plane j lives in scratch slot j % 2), so psi HBM
+    traffic is ~1x instead of the 3x of halo-window tiling, and the t-hops
+    read their neighbour planes directly — no halo concatenation at all.
+    The periodic wrap is primed by two constant-index windows (planes 0
+    and nt-1), fetched once per kernel launch."""
+    i = pl.program_id(0)
+    two = jnp.asarray(2, jnp.asarray(i).dtype)
+    slot = lax.rem(i, two)
+    prev_slot = lax.rem(i + 1, two)  # (i - 1) % 2
+
+    @pl.when(i == 0)
+    def _prime():
+        ps_re[0] = pf_re[...]
+        ps_im[0] = pf_im[...]
+        ps_re[1] = pq_re[...]
+        ps_im[1] = pq_im[...]
+        us_re[1] = ul_re[0]
+        us_im[1] = ul_im[0]
+
+    center = cplx.CF(ps_re[slot], ps_im[slot])     # (4, 3, 1, Z, V)
+    prev = cplx.CF(ps_re[prev_slot], ps_im[prev_slot])
+    nxt = cplx.CF(pn_re[...], pn_im[...])
+    u = cplx.CF(uc_re[...], uc_im[...])            # (4, 3, 3, 1, Z, V)
+    ut_prev = cplx.CF(us_re[prev_slot], us_im[prev_slot])  # (3, 3, 1, Z, V)
+
+    v = out_re.shape[-1]
+    xcoord = lax.broadcasted_iota(jnp.int32, (1, 1, 1, v), 3) % xx
+    mask_last = xcoord == xx - 1
+    mask_first = xcoord == 0
+
+    def slab_where(mask, a: cplx.CF, b: cplx.CF) -> cplx.CF:
+        return cplx.CF(jnp.where(mask, a.re, b.re), jnp.where(mask, a.im, b.im))
+
+    def shift_local(vv: cplx.CF, mu: int, fwd: bool) -> cplx.CF:
+        """z / y / x shifts on a (3, 1, Z, V) slab (z and the y*x plane
+        are fully resident)."""
+        if mu == 1:
+            return _cf_roll(vv, -1 if fwd else 1, 2)
+        ax = 3
+        if mu == 2:
+            return _cf_roll(vv, -xx if fwd else xx, ax)
+        if fwd:
+            return slab_where(
+                mask_last, _cf_roll(vv, xx - 1, ax), _cf_roll(vv, -1, ax)
+            )
+        return slab_where(
+            mask_first, _cf_roll(vv, -(xx - 1), ax), _cf_roll(vv, 1, ax)
+        )
+
+    psi_slabs = [center[s] for s in range(4)]
+    out = [None] * 4
+
+    # t hops read the neighbour planes directly (no shifts, no halos)
+    g = colour_mul(
+        u[0], project_half([nxt[s] for s in range(4)], 0, True), dagger=False
+    )
+    out = accumulate_half(out, g, 0, True)
+    w = colour_mul(
+        ut_prev, project_half([prev[s] for s in range(4)], 0, False), dagger=True
+    )
+    out = accumulate_half(out, w, 0, False)
+
+    for mu in (1, 2, 3):
+        h = project_half(psi_slabs, mu, True)
+        h = [shift_local(hq, mu, True) for hq in h]
+        g = colour_mul(u[mu], h, dagger=False)
+        out = accumulate_half(out, g, mu, True)
+
+        w = colour_mul(u[mu], project_half(psi_slabs, mu, False), dagger=True)
+        w = [shift_local(wq, mu, False) for wq in w]
+        out = accumulate_half(out, w, mu, False)
+
+    for s in range(4):
+        out_re[s] = out[s].re
+        out_im[s] = out[s].im
+
+    # carry for the next step: plane i+1 -> slot (i+1) % 2, U_t(i) -> slot i % 2
+    ps_re[prev_slot] = pn_re[...]
+    ps_im[prev_slot] = pn_im[...]
+    us_re[slot] = uc_re[0]
+    us_im[slot] = uc_im[0]
+
+
+def _dslash_stream(links: cplx.CF, psi: cplx.CF, mesh, interpret: bool) -> cplx.CF:
+    t, z, y, xx = mesh.spacetime_dims
+    v = y * xx
+    nt = t
+    fdt = psi.re.dtype
+    ldt = links.re.dtype
+
+    def vspec(shape, index_map):
+        return pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)
+
+    specs = [
+        vspec((4, 3, 1, z, v), lambda i: (0, 0, (i + 1) % nt, 0, 0)),
+        vspec((4, 3, 1, z, v), lambda i: (0, 0, 0, 0, 0)),
+        vspec((4, 3, 1, z, v), lambda i: (0, 0, nt - 1, 0, 0)),
+        vspec((4, 3, 3, 1, z, v), lambda i: (0, 0, 0, i, 0, 0)),
+        vspec((1, 3, 3, 1, z, v), lambda i: (0, 0, 0, nt - 1, 0, 0)),
+    ]
+    out_spec = vspec((4, 3, 1, z, v), lambda i: (0, 0, i, 0, 0))
+
+    in_specs = []
+    for s in specs:
+        in_specs += [s, s]
+    args = [psi, psi, psi, links, links]
+    flat_args = []
+    for a in args:
+        flat_args += [a.re, a.im]
+
+    kernel = functools.partial(_dslash_stream_kernel, y=y, xx=xx)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
+    out_re, out_im = pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=in_specs,
+        out_specs=(out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct(psi.re.shape, fdt),
+            jax.ShapeDtypeStruct(psi.re.shape, fdt),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 4, 3, 1, z, v), fdt),
+            pltpu.VMEM((2, 4, 3, 1, z, v), fdt),
+            pltpu.VMEM((2, 3, 3, 1, z, v), ldt),
+            pltpu.VMEM((2, 3, 3, 1, z, v), ldt),
+        ],
+        interpret=interpret,
+        **kwargs,
+    )(*flat_args)
+    return cplx.CF(out_re, out_im)
+
+
 def _pick_block(t: int, z: int, v: int, itemsize: int = 4) -> tuple[int, int]:
     """(TB, ZB) keeping the kernel working set in a ~6 MB VMEM budget.
     Prefers z fully resident (no z halo); z blocks must be multiples of 8."""
@@ -219,9 +373,13 @@ def dslash_apply(
     t, z, y, xx = mesh.spacetime_dims
     v = y * xx
     tb0, zb0 = _pick_block(t, z, v)
+    if tb is None and zb0 == z:
+        tb0 = 1  # z-resident default: the t-streaming kernel wants TB=1
     tb = tb if tb is not None else tb0
     zb = zb if zb is not None else zb0
     assert t % tb == 0 and z % zb == 0
+    if tb == 1 and zb == z:
+        return _dslash_stream(links, psi, mesh, interpret)
     z_blocked = zb != z
     if z_blocked:
         assert zb % _ZHALO == 0, "z blocks must be multiples of 8 (TPU tiling)"

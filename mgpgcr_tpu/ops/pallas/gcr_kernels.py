@@ -1,0 +1,282 @@
+"""Fused GCR-iteration Pallas kernels (split re/im fields).
+
+The GCR hot loop's algebra outside the operator application is pure HBM
+streaming: axpys over x/r, the beta contraction against the stored
+direction stacks, and the direction update (reference loop GCR.h:222-288;
+cost model SemesterProject.pdf §2.2). Left to XLA these are many separate
+passes (measured 8 ms/iteration at 32^4 restart 5 on v5e vs ~3 ms of
+minimal traffic). These kernels fuse the iteration into three streaming
+passes, each touching every large array exactly once:
+
+  K1 update_xr:   x += alpha p, r -= alpha ap, ||r||^2   (p/ap read
+                  directly from their stack slots via scalar prefetch)
+  K2 beta_dots:   raw_s = <aps_s, az> for all stored directions
+  K3 dir_update:  p = z - sum_s beta_s ps_s, ap = az - sum_s beta_s aps_s,
+                  written *in place* into stack slot `slot` (aliased
+                  outputs), plus ||ap||^2 and <ap, r> — the latter is next
+                  iteration's alpha numerator, saving a separate pass.
+
+All kernels grid over row-chunks of 2D-reshaped fields (rows, lanes) and
+accumulate scalar reductions across grid steps in SMEM. On non-TPU
+backends they run in interpreter mode (used by the CPU parity tests).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mgpgcr_tpu import cplx
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _as2d(x: jnp.ndarray) -> jnp.ndarray:
+    """Collapse leading axes; keep the trailing (lane) axis."""
+    if x.ndim == 1:
+        return x.reshape(1, x.shape[0])
+    return x.reshape(-1, x.shape[-1])
+
+
+@functools.lru_cache(maxsize=None)
+def _chunk_rows(m: int, n: int, n_windows: int, itemsize: int = 4) -> int:
+    """Largest divisor of m keeping n_windows live (double-buffered) row
+    windows under a ~28 MB VMEM budget."""
+    budget = 28 * 1024 * 1024
+    for d in sorted((d for d in range(1, m + 1) if m % d == 0), reverse=True):
+        if 2 * n_windows * d * n * itemsize <= budget:
+            return d
+    return 1
+
+
+def _vspec(shape, index_map):
+    return pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)
+
+
+def _smem(shape, index_map):
+    return pl.BlockSpec(shape, index_map, memory_space=pltpu.SMEM)
+
+
+def _acc(ref, idx, value):
+    """Accumulate a scalar partial across sequential grid steps."""
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        ref[idx] = value
+
+    @pl.when(pl.program_id(0) != 0)
+    def _():
+        ref[idx] += value
+
+
+# ---------------------------------------------------------------------------
+# K1: x += alpha p, r -= alpha ap, r2 = ||r||^2
+# ---------------------------------------------------------------------------
+def _k1_kernel(
+    slot_ref,
+    alpha_ref,
+    x_re, x_im, r_re, r_im,
+    ps_re, ps_im, aps_re, aps_im,
+    ox_re, ox_im, or_re, or_im, r2_ref,
+):
+    del slot_ref
+    ar = alpha_ref[0, 0]
+    ai = alpha_ref[0, 1]
+    p_re, p_im = ps_re[0], ps_im[0]
+    a_re, a_im = aps_re[0], aps_im[0]
+    ox_re[...] = x_re[...] + (ar * p_re - ai * p_im)
+    ox_im[...] = x_im[...] + (ar * p_im + ai * p_re)
+    nr_re = r_re[...] - (ar * a_re - ai * a_im)
+    nr_im = r_im[...] - (ar * a_im + ai * a_re)
+    or_re[...] = nr_re
+    or_im[...] = nr_im
+    _acc(r2_ref, (0, 0), jnp.sum(nr_re * nr_re + nr_im * nr_im))
+
+
+def update_xr(x: cplx.CF, r: cplx.CF, ps: cplx.CF, aps: cplx.CF, slot, alpha: cplx.CF):
+    """Returns (x', r', r2). ps/aps are the (S, ...) direction stacks; the
+    current direction lives in row `slot` (traced int32)."""
+    shape, dt = x.shape, x.dtype
+    x2, r2d = _as2d(x.re), None
+    m, n = x2.shape
+    s = ps.shape[0]
+    rows = _chunk_rows(m, n, 8)
+    grid = (m // rows,)
+
+    field = _vspec((rows, n), lambda i, sl: (i, 0))
+    stack = _vspec((1, rows, n), lambda i, sl: (sl[0], i, 0))
+    out_field = _vspec((rows, n), lambda i, sl: (i, 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            _smem((1, 2), lambda i, sl: (0, 0)),
+            field, field, field, field,
+            stack, stack, stack, stack,
+        ],
+        out_specs=(
+            out_field, out_field, out_field, out_field,
+            _smem((1, 1), lambda i, sl: (0, 0)),
+        ),
+    )
+    alpha_arr = jnp.stack([alpha.re, alpha.im]).astype(dt).reshape(1, 2)
+    ox_re, ox_im, or_re, or_im, r2 = pl.pallas_call(
+        _k1_kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((m, n), dt),
+            jax.ShapeDtypeStruct((m, n), dt),
+            jax.ShapeDtypeStruct((m, n), dt),
+            jax.ShapeDtypeStruct((m, n), dt),
+            jax.ShapeDtypeStruct((1, 1), dt),
+        ),
+        interpret=_interpret(),
+    )(
+        jnp.asarray([slot], jnp.int32),
+        alpha_arr,
+        _as2d(x.re), _as2d(x.im), _as2d(r.re), _as2d(r.im),
+        ps.re.reshape(s, m, n), ps.im.reshape(s, m, n),
+        aps.re.reshape(s, m, n), aps.im.reshape(s, m, n),
+    )
+    return (
+        cplx.CF(ox_re.reshape(shape), ox_im.reshape(shape)),
+        cplx.CF(or_re.reshape(shape), or_im.reshape(shape)),
+        r2[0, 0],
+    )
+
+
+# ---------------------------------------------------------------------------
+# K2: raw_s = <aps_s, az>
+# ---------------------------------------------------------------------------
+def _k2_kernel(aps_re, aps_im, az_re, az_im, out_ref):
+    s = aps_re.shape[0]
+    zr, zi = az_re[...], az_im[...]
+    for j in range(s):
+        ar, ai = aps_re[j], aps_im[j]
+        _acc(out_ref, (j, 0), jnp.sum(ar * zr + ai * zi))
+        _acc(out_ref, (j, 1), jnp.sum(ar * zi - ai * zr))
+
+
+def beta_dots(aps: cplx.CF, az: cplx.CF) -> cplx.CF:
+    """<aps_s, az> for every stored direction, one streaming pass."""
+    dt = az.dtype
+    z2 = _as2d(az.re)
+    m, n = z2.shape
+    s = aps.shape[0]
+    rows = _chunk_rows(m, n, 2 * (s + 1))
+    grid = (m // rows,)
+    stack = _vspec((s, rows, n), lambda i: (0, i, 0))
+    field = _vspec((rows, n), lambda i: (i, 0))
+    out = pl.pallas_call(
+        _k2_kernel,
+        grid=grid,
+        in_specs=[stack, stack, field, field],
+        out_specs=_smem((s, 2), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((s, 2), dt),
+        interpret=_interpret(),
+    )(
+        aps.re.reshape(s, m, n), aps.im.reshape(s, m, n),
+        _as2d(az.re), _as2d(az.im),
+    )
+    return cplx.CF(out[:, 0], out[:, 1])
+
+
+# ---------------------------------------------------------------------------
+# K3: direction update written in place into the stack slot
+# ---------------------------------------------------------------------------
+def _k3_kernel(
+    slot_ref,
+    betas_ref,
+    z_re, z_im, az_re, az_im, r_re, r_im,
+    ps_re, ps_im, aps_re, aps_im,
+    ops_re, ops_im, oaps_re, oaps_im, apn_ref, apr_ref,
+):
+    del slot_ref
+    s = ps_re.shape[0]
+    p_re, p_im = z_re[...], z_im[...]
+    a_re, a_im = az_re[...], az_im[...]
+    for j in range(s):
+        br = betas_ref[j, 0]
+        bi = betas_ref[j, 1]
+        p_re = p_re - (br * ps_re[j] - bi * ps_im[j])
+        p_im = p_im - (br * ps_im[j] + bi * ps_re[j])
+        a_re = a_re - (br * aps_re[j] - bi * aps_im[j])
+        a_im = a_im - (br * aps_im[j] + bi * aps_re[j])
+    ops_re[0] = p_re
+    ops_im[0] = p_im
+    oaps_re[0] = a_re
+    oaps_im[0] = a_im
+    _acc(apn_ref, (0, 0), jnp.sum(a_re * a_re + a_im * a_im))
+    rr, ri = r_re[...], r_im[...]
+    _acc(apr_ref, (0, 0), jnp.sum(a_re * rr + a_im * ri))
+    _acc(apr_ref, (0, 1), jnp.sum(a_re * ri - a_im * rr))
+
+
+def dir_update(z, az, r, ps: cplx.CF, aps: cplx.CF, betas: cplx.CF, slot):
+    """p = z - sum betas ps, ap = az - sum betas aps, stored into stack row
+    `slot` in place (other rows pass through untouched via output
+    aliasing). Returns (ps', aps', ap_norm2, <ap, r>)."""
+    dt = az.dtype
+    z2 = _as2d(az.re)
+    m, n = z2.shape
+    s = ps.shape[0]
+    rows = _chunk_rows(m, n, 2 * (4 * s + 5))
+    grid = (m // rows,)
+
+    field = _vspec((rows, n), lambda i, sl: (i, 0))
+    stack_in = _vspec((s, rows, n), lambda i, sl: (0, i, 0))
+    stack_out = _vspec((1, rows, n), lambda i, sl: (sl[0], i, 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            _smem((s, 2), lambda i, sl: (0, 0)),
+            field, field, field, field, field, field,
+            stack_in, stack_in, stack_in, stack_in,
+        ],
+        out_specs=(
+            stack_out, stack_out, stack_out, stack_out,
+            _smem((1, 1), lambda i, sl: (0, 0)),
+            _smem((1, 2), lambda i, sl: (0, 0)),
+        ),
+    )
+    betas_arr = jnp.stack([betas.re, betas.im], axis=1).astype(dt)
+    # aliases: operand k -> output k', counting pallas_call positional args
+    # (scalar-prefetch arg included) so the stacks update in place
+    aliases = {8: 0, 9: 1, 10: 2, 11: 3}
+    ops_re, ops_im, oaps_re, oaps_im, apn, apr = pl.pallas_call(
+        _k3_kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((s, m, n), dt),
+            jax.ShapeDtypeStruct((s, m, n), dt),
+            jax.ShapeDtypeStruct((s, m, n), dt),
+            jax.ShapeDtypeStruct((s, m, n), dt),
+            jax.ShapeDtypeStruct((1, 1), dt),
+            jax.ShapeDtypeStruct((1, 2), dt),
+        ),
+        input_output_aliases=aliases,
+        interpret=_interpret(),
+    )(
+        jnp.asarray([slot], jnp.int32),
+        betas_arr,
+        _as2d(z.re), _as2d(z.im), _as2d(az.re), _as2d(az.im),
+        _as2d(r.re), _as2d(r.im),
+        ps.re.reshape(s, m, n), ps.im.reshape(s, m, n),
+        aps.re.reshape(s, m, n), aps.im.reshape(s, m, n),
+    )
+    shape = ps.shape
+    return (
+        cplx.CF(ops_re.reshape(shape), ops_im.reshape(shape)),
+        cplx.CF(oaps_re.reshape(shape), oaps_im.reshape(shape)),
+        apn[0, 0],
+        cplx.CF(apr[0, 0], apr[0, 1]),
+    )

@@ -64,9 +64,19 @@ def gcr_solve(
     params: GCRParams,
     precond: Optional[Preconditioner] = None,
     x0=None,
+    fused: bool | None = None,
 ) -> SolveResult:
     """Solve A x = rhs with flexible GCR. Jit-compatible (params/precond
-    static); nests cleanly inside other jitted solvers."""
+    static); nests cleanly inside other jitted solvers.
+
+    fused=True routes the iteration algebra through the fused Pallas
+    streaming kernels (ops/pallas/gcr_kernels.py) — split re/im (CF)
+    fields only; identical semantics, ~2x fewer HBM passes per iteration.
+    Default: ``params.fused``."""
+    if fused is None:
+        fused = params.fused
+    if fused and cplx.is_cf(rhs):
+        return _gcr_solve_fused(a, rhs, params, precond, x0)
     apply_a = a.apply if hasattr(a, "apply") else a
     rdtype = cplx.real_dtype(rhs)
     S = params.storage_size
@@ -165,6 +175,122 @@ def gcr_solve(
     )
     (x, r, p, ap, ps, aps, ap_norms, count, it, r2, hist) = jax.lax.while_loop(
         cond, body, init
+    )
+
+    final_rel = jnp.sqrt(r2 / jnp.maximum(rhs_norm2_safe, _tiny(rdtype)))
+    converged = r2 <= tol2 * rhs_norm2
+    return SolveResult(
+        x=x,
+        converged=converged,
+        n_iters=it,
+        final_relres=final_rel,
+        res_history=hist,
+    )
+
+
+def _gcr_solve_fused(a, rhs, params: GCRParams, precond, x0) -> SolveResult:
+    """Fused-kernel GCR body: same mathematics and direction management as
+    the generic path above, but each iteration's field algebra runs as
+    three Pallas streaming passes (K1 x/r update + ||r||^2, K2 beta dots,
+    K3 direction update written in place into the stack slot, which also
+    produces next iteration's <Ap, r> and ||Ap||^2 so no standalone dot
+    passes remain). Reference loop being fused: GCR.h:222-288."""
+    from mgpgcr_tpu.ops.pallas import gcr_kernels as gk
+
+    apply_a = a.apply if hasattr(a, "apply") else a
+    rdtype = cplx.real_dtype(rhs)
+    S = params.storage_size
+    max_iter = params.max_iter
+    restart = params.restart if params.restart else max_iter + 1
+
+    x = cplx.zeros_like(rhs) if x0 is None else x0
+    r = rhs - apply_a(x) if x0 is not None else rhs
+
+    rhs_norm2 = cplx.abs2_sum(rhs).astype(rdtype)
+    rhs_norm2_safe = jnp.maximum(rhs_norm2, jnp.asarray(0, rdtype))
+
+    z = precond(r) if precond is not None else r
+    p = z
+    ap = apply_a(p)
+
+    ps = cplx.stack_zeros(S, p).at[0].set(p)
+    aps = cplx.stack_zeros(S, ap).at[0].set(ap)
+    ap2_0 = cplx.abs2_sum(ap).astype(rdtype)
+    ap_norms = jnp.zeros((S,), rdtype).at[0].set(ap2_0)
+    apr_0 = cplx.vdot(ap, r)
+
+    r2_0 = cplx.abs2_sum(r).astype(rdtype)
+    hist = jnp.full((max_iter + 1,), jnp.nan, rdtype)
+    hist = hist.at[0].set(jnp.sqrt(r2_0 / jnp.maximum(rhs_norm2_safe, _tiny(rdtype))))
+    tol2 = jnp.asarray(params.tol**2, rdtype)
+
+    def cond(carry):
+        (x, r, ps, aps, ap_norms, ap2, apr, slot, count, it, r2, hist) = carry
+        return jnp.logical_and(r2 > tol2 * rhs_norm2, it < max_iter)
+
+    def body(carry):
+        (x, r, ps, aps, ap_norms, ap2, apr, slot, count, it, r2, hist) = carry
+        it = it + 1
+        count = count + 1
+
+        alpha = _div_real(apr, ap2, rdtype)
+        x, r, r2 = gk.update_xr(x, r, ps, aps, slot, alpha)
+        r2 = r2.astype(rdtype)
+        if params.residual_refresh:
+            r, r2 = jax.lax.cond(
+                it % params.residual_refresh == 0,
+                lambda x, r, r2: (
+                    (lambda rr: (rr, cplx.abs2_sum(rr).astype(rdtype)))(
+                        rhs - apply_a(x)
+                    )
+                ),
+                lambda x, r, r2: (r, r2),
+                x,
+                r,
+                r2,
+            )
+        hist = hist.at[it].set(
+            jnp.sqrt(r2 / jnp.maximum(rhs_norm2_safe, _tiny(rdtype)))
+        )
+
+        z = precond(r) if precond is not None else r
+        az = apply_a(z)
+
+        raw = gk.beta_dots(aps, az)
+        betas = cplx.where(
+            ap_norms > 0,
+            _div_real(raw, ap_norms.astype(raw.dtype), rdtype),
+            cplx.zeros_like(raw),
+        )
+
+        do_restart = count % restart == 0
+        count = jnp.where(do_restart, 0, count)
+        wipe = jnp.where(do_restart, 0.0, 1.0).astype(rdtype)
+        ap_norms = ap_norms * wipe
+
+        slot = (count % S).astype(jnp.int32)
+        ps, aps, apn, apr = gk.dir_update(z, az, r, ps, aps, betas, slot)
+        apn = apn.astype(rdtype)
+        ap_norms = ap_norms.at[slot].set(apn)
+
+        return (x, r, ps, aps, ap_norms, apn, apr, slot, count, it, r2, hist)
+
+    init = (
+        x,
+        r,
+        ps,
+        aps,
+        ap_norms,
+        ap2_0,
+        apr_0,
+        jnp.zeros((), jnp.int32),
+        jnp.zeros((), jnp.int32),
+        jnp.zeros((), jnp.int32),
+        r2_0,
+        hist,
+    )
+    (x, r, ps, aps, ap_norms, ap2, apr, slot, count, it, r2, hist) = (
+        jax.lax.while_loop(cond, body, init)
     )
 
     final_rel = jnp.sqrt(r2 / jnp.maximum(rhs_norm2_safe, _tiny(rdtype)))

@@ -31,6 +31,11 @@ class GCRParams:
     # recursion drifts from the true residual by ~1-2 orders near tol.
     # 0 = off (bit-compatible with the reference recursion, GCR.h:233).
     residual_refresh: int = 0
+    # route the iteration algebra through the fused Pallas streaming
+    # kernels (ops/pallas/gcr_kernels.py): split re/im (CF) fields only;
+    # interpreter mode on non-TPU backends. Off for small/coarse solves
+    # where kernel launches outweigh the traffic saved.
+    fused: bool = False
 
     def __post_init__(self):
         if self.restart and self.truncation:
