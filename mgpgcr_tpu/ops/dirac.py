@@ -23,7 +23,11 @@ class DiracOperator(LinearOperator):
         return self.d.shape
 
     def apply(self, x: jnp.ndarray) -> jnp.ndarray:
-        """x - k * D(x) (Operator.h:570-574)."""
+        """x - k * D(x) (Operator.h:570-574). Operators exposing
+        ``apply_dirac`` (the fused Pallas kernel) compute the whole
+        expression in one HBM pass."""
+        if hasattr(self.d, "apply_dirac"):
+            return self.d.apply_dirac(x, self.k)
         return x - self.k * self.d.apply(x)
 
     def with_k(self, k) -> "DiracOperator":

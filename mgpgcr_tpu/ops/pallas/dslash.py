@@ -184,18 +184,32 @@ def _dslash_kernel(*refs, y: int, xx: int, z_blocked: bool):
     out_im[...] = res.im
 
 
+def links_to_tmajor(links_tpu: cplx.CF) -> cplx.CF:
+    """(4, 3, 3, T, Z, V) -> (T, 4, 3, 3, Z, V): one t-plane of links is a
+    single contiguous HBM chunk, the shape the streaming kernel's per-step
+    link DMA wants (fragmenting it into 36 per-(mu,a,b) chunks measurably
+    lowers achieved DMA bandwidth, especially for bf16 links)."""
+    return cplx.transpose(links_tpu, (3, 0, 1, 2, 4, 5))
+
+
+def _links_is_tmajor(links: cplx.CF) -> bool:
+    return links.shape[1] == 4  # mu-major is (4, 3, 3, ...): shape[1] == 3
+
+
 def _dslash_stream_kernel(
+    k_ref,         # (1, 2) SMEM: complex k of A = I - k D (unused if not fused)
     pn_re, pn_im,  # psi plane (i+1) % nt          (4, 3, 1, Z, V)
     pf_re, pf_im,  # psi plane 0 (constant window)  (4, 3, 1, Z, V)
     pq_re, pq_im,  # psi plane nt-1 (constant)      (4, 3, 1, Z, V)
-    uc_re, uc_im,  # links plane i                  (4, 3, 3, 1, Z, V)
-    ul_re, ul_im,  # U_t plane nt-1 (constant)      (1, 3, 3, 1, Z, V)
+    uc_re, uc_im,  # links plane i                  (1, 4, 3, 3, Z, V)
+    ul_re, ul_im,  # U_t plane nt-1 (constant)      (1, 1, 3, 3, Z, V)
     out_re, out_im,  # output plane i               (4, 3, 1, Z, V)
     ps_re, ps_im,  # carried psi planes             (2, 4, 3, 1, Z, V)
-    us_re, us_im,  # carried U_t planes             (2, 3, 3, 1, Z, V)
+    us_re, us_im,  # carried U_t planes             (2, 3, 3, Z, V)
     *,
     y: int,
     xx: int,
+    fuse_dirac: bool,
 ):
     """t-plane streaming Dslash: grid over t, one output plane per step.
 
@@ -205,7 +219,12 @@ def _dslash_stream_kernel(
     traffic is ~1x instead of the 3x of halo-window tiling, and the t-hops
     read their neighbour planes directly — no halo concatenation at all.
     The periodic wrap is primed by two constant-index windows (planes 0
-    and nt-1), fetched once per kernel launch."""
+    and nt-1), fetched once per kernel launch.
+
+    With ``fuse_dirac`` the kernel emits A psi = psi - k D psi instead of
+    D psi at identical HBM traffic (the center plane is already resident)
+    — the whole reference ``DiracOp`` application (Operator.h:570-574) in
+    one pass."""
     i = pl.program_id(0)
     two = jnp.asarray(2, jnp.asarray(i).dtype)
     slot = lax.rem(i, two)
@@ -217,14 +236,14 @@ def _dslash_stream_kernel(
         ps_im[0] = pf_im[...]
         ps_re[1] = pq_re[...]
         ps_im[1] = pq_im[...]
-        us_re[1] = ul_re[0]
-        us_im[1] = ul_im[0]
+        us_re[1] = ul_re[0, 0]
+        us_im[1] = ul_im[0, 0]
 
     center = cplx.CF(ps_re[slot], ps_im[slot])     # (4, 3, 1, Z, V)
     prev = cplx.CF(ps_re[prev_slot], ps_im[prev_slot])
     nxt = cplx.CF(pn_re[...], pn_im[...])
-    u = cplx.CF(uc_re[...], uc_im[...])            # (4, 3, 3, 1, Z, V)
-    ut_prev = cplx.CF(us_re[prev_slot], us_im[prev_slot])  # (3, 3, 1, Z, V)
+    u = cplx.CF(uc_re[0], uc_im[0])                # (4, 3, 3, Z, V)
+    ut_prev = cplx.CF(us_re[prev_slot], us_im[prev_slot])  # (3, 3, Z, V)
 
     v = out_re.shape[-1]
     xcoord = lax.broadcasted_iota(jnp.int32, (1, 1, 1, v), 3) % xx
@@ -273,23 +292,35 @@ def _dslash_stream_kernel(
         w = [shift_local(wq, mu, False) for wq in w]
         out = accumulate_half(out, w, mu, False)
 
-    for s in range(4):
-        out_re[s] = out[s].re
-        out_im[s] = out[s].im
+    if fuse_dirac:
+        kr = k_ref[0, 0]
+        ki = k_ref[0, 1]
+        for s in range(4):
+            out_re[s] = center[s].re - (kr * out[s].re - ki * out[s].im)
+            out_im[s] = center[s].im - (kr * out[s].im + ki * out[s].re)
+    else:
+        for s in range(4):
+            out_re[s] = out[s].re
+            out_im[s] = out[s].im
 
     # carry for the next step: plane i+1 -> slot (i+1) % 2, U_t(i) -> slot i % 2
     ps_re[prev_slot] = pn_re[...]
     ps_im[prev_slot] = pn_im[...]
-    us_re[slot] = uc_re[0]
-    us_im[slot] = uc_im[0]
+    us_re[slot] = uc_re[0, 0]
+    us_im[slot] = uc_im[0, 0]
 
 
-def _dslash_stream(links: cplx.CF, psi: cplx.CF, mesh, interpret: bool) -> cplx.CF:
+def _dslash_stream(
+    links: cplx.CF, psi: cplx.CF, mesh, interpret: bool, k: cplx.CF | None = None
+) -> cplx.CF:
+    """Streaming-kernel dispatch (z fully VMEM-resident). links must be in
+    t-major layout (links_to_tmajor); pass ``k`` to fuse A = I - k D."""
     t, z, y, xx = mesh.spacetime_dims
     v = y * xx
     nt = t
     fdt = psi.re.dtype
     ldt = links.re.dtype
+    assert _links_is_tmajor(links), "streaming kernel wants t-major links"
 
     def vspec(shape, index_map):
         return pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)
@@ -298,20 +329,27 @@ def _dslash_stream(links: cplx.CF, psi: cplx.CF, mesh, interpret: bool) -> cplx.
         vspec((4, 3, 1, z, v), lambda i: (0, 0, (i + 1) % nt, 0, 0)),
         vspec((4, 3, 1, z, v), lambda i: (0, 0, 0, 0, 0)),
         vspec((4, 3, 1, z, v), lambda i: (0, 0, nt - 1, 0, 0)),
-        vspec((4, 3, 3, 1, z, v), lambda i: (0, 0, 0, i, 0, 0)),
-        vspec((1, 3, 3, 1, z, v), lambda i: (0, 0, 0, nt - 1, 0, 0)),
+        vspec((1, 4, 3, 3, z, v), lambda i: (i, 0, 0, 0, 0, 0)),
+        vspec((1, 1, 3, 3, z, v), lambda i: (nt - 1, 0, 0, 0, 0, 0)),
     ]
     out_spec = vspec((4, 3, 1, z, v), lambda i: (0, 0, i, 0, 0))
 
-    in_specs = []
+    in_specs = [pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)]
     for s in specs:
         in_specs += [s, s]
-    args = [psi, psi, psi, links, links]
-    flat_args = []
-    for a in args:
+    fuse = k is not None
+    k_arr = (
+        jnp.stack([k.re, k.im]).astype(fdt).reshape(1, 2)
+        if fuse
+        else jnp.zeros((1, 2), fdt)
+    )
+    flat_args = [k_arr]
+    for a in [psi, psi, psi, links, links]:
         flat_args += [a.re, a.im]
 
-    kernel = functools.partial(_dslash_stream_kernel, y=y, xx=xx)
+    kernel = functools.partial(
+        _dslash_stream_kernel, y=y, xx=xx, fuse_dirac=fuse
+    )
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
@@ -329,8 +367,8 @@ def _dslash_stream(links: cplx.CF, psi: cplx.CF, mesh, interpret: bool) -> cplx.
         scratch_shapes=[
             pltpu.VMEM((2, 4, 3, 1, z, v), fdt),
             pltpu.VMEM((2, 4, 3, 1, z, v), fdt),
-            pltpu.VMEM((2, 3, 3, 1, z, v), ldt),
-            pltpu.VMEM((2, 3, 3, 1, z, v), ldt),
+            pltpu.VMEM((2, 3, 3, z, v), ldt),
+            pltpu.VMEM((2, 3, 3, z, v), ldt),
         ],
         interpret=interpret,
         **kwargs,
@@ -367,11 +405,14 @@ def dslash_apply(
     tb: int | None = None,
     zb: int | None = None,
     interpret: bool = False,
+    k: cplx.CF | None = None,
 ) -> cplx.CF:
-    """D psi via the fused kernel. links: (4,3,3,T,Z,V) CF in TPU layout;
+    """D psi (or A psi = psi - k D psi when ``k`` is given) via the fused
+    kernel. links: (4,3,3,T,Z,V) mu-major or (T,4,3,3,Z,V) t-major CF;
     psi: (4,3,T,Z,V) CF."""
     t, z, y, xx = mesh.spacetime_dims
     v = y * xx
+    tmajor = _links_is_tmajor(links)
     tb0, zb0 = _pick_block(t, z, v)
     if tb is None and zb0 == z:
         tb0 = 1  # z-resident default: the t-streaming kernel wants TB=1
@@ -379,7 +420,16 @@ def dslash_apply(
     zb = zb if zb is not None else zb0
     assert t % tb == 0 and z % zb == 0
     if tb == 1 and zb == z:
-        return _dslash_stream(links, psi, mesh, interpret)
+        if not tmajor:
+            # correctness fallback for directly-constructed mu-major
+            # operators; ``build`` stores t-major so the production path
+            # never pays this per-apply relayout
+            links = links_to_tmajor(links)
+        return _dslash_stream(links, psi, mesh, interpret, k=k)
+    assert not tmajor, "z-blocked halo kernel wants mu-major links"
+    if k is not None:
+        d = dslash_apply(links, psi, mesh, tb, zb, interpret)
+        return psi - k * d
     z_blocked = zb != z
     if z_blocked:
         assert zb % _ZHALO == 0, "z blocks must be multiples of 8 (TPU tiling)"
@@ -456,9 +506,11 @@ def dslash_apply(
 @operator_dataclass(meta=("mesh", "tb", "zb", "interpret"))
 class PallasWilsonDirac(LinearOperator):
     """Drop-in replacement for ``TpuWilsonDirac`` backed by the fused
-    kernel; same field layout (4, 3, T, Z, Y*X), same CF representation."""
+    kernel; same field layout (4, 3, T, Z, Y*X), same CF representation.
+    Links are stored t-major (one contiguous plane per grid step) when the
+    streaming kernel applies; layout is inferred from the array shape."""
 
-    links: cplx.CF  # (4, 3, 3, T, Z, V)
+    links: cplx.CF  # (T, 4, 3, 3, Z, V) t-major, or (4, 3, 3, T, Z, V)
     mesh: LatticeMesh
     tb: int | None = None
     zb: int | None = None
@@ -468,9 +520,13 @@ class PallasWilsonDirac(LinearOperator):
     def build(
         links_canonical, mesh: LatticeMesh, tb=None, zb=None, interpret=False
     ) -> "PallasWilsonDirac":
-        return PallasWilsonDirac(
-            links_to_tpu(links_canonical, mesh), mesh, tb, zb, interpret
-        )
+        links = links_to_tpu(links_canonical, mesh)
+        t, z, y, xx = mesh.spacetime_dims
+        tb0, zb0 = _pick_block(t, z, y * xx)
+        streaming = (tb in (None, 1)) and (zb in (None, z)) and zb0 == z
+        if streaming:
+            links = links_to_tmajor(links)
+        return PallasWilsonDirac(links, mesh, tb, zb, interpret)
 
     @property
     def shape(self) -> tuple[int, int]:
@@ -484,4 +540,17 @@ class PallasWilsonDirac(LinearOperator):
     def apply(self, psi: cplx.CF) -> cplx.CF:
         return dslash_apply(
             self.links, psi, self.mesh, self.tb, self.zb, self.interpret
+        )
+
+    def apply_dirac(self, psi: cplx.CF, k) -> cplx.CF:
+        """A psi = psi - k D psi fused into the kernel (one HBM pass; the
+        reference's DiracOp application, Operator.h:570-574)."""
+        return dslash_apply(
+            self.links,
+            psi,
+            self.mesh,
+            self.tb,
+            self.zb,
+            self.interpret,
+            k=cplx.ascf(k, psi.dtype),
         )

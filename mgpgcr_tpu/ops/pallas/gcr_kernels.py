@@ -37,6 +37,18 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _compiler_kwargs() -> dict:
+    """Raise the scoped-VMEM cap (the row windows exceed the 16 MB default,
+    as in the Dslash kernel); no-op in interpreter mode."""
+    if _interpret():
+        return {}
+    return {
+        "compiler_params": pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
+    }
+
+
 def _as2d(x: jnp.ndarray) -> jnp.ndarray:
     """Collapse leading axes; keep the trailing (lane) axis."""
     if x.ndim == 1:
@@ -138,6 +150,7 @@ def update_xr(x: cplx.CF, r: cplx.CF, ps: cplx.CF, aps: cplx.CF, slot, alpha: cp
             jax.ShapeDtypeStruct((1, 1), dt),
         ),
         interpret=_interpret(),
+        **_compiler_kwargs(),
     )(
         jnp.asarray([slot], jnp.int32),
         alpha_arr,
@@ -181,6 +194,7 @@ def beta_dots(aps: cplx.CF, az: cplx.CF) -> cplx.CF:
         out_specs=_smem((s, 2), lambda i: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((s, 2), dt),
         interpret=_interpret(),
+        **_compiler_kwargs(),
     )(
         aps.re.reshape(s, m, n), aps.im.reshape(s, m, n),
         _as2d(az.re), _as2d(az.im),
@@ -265,6 +279,7 @@ def dir_update(z, az, r, ps: cplx.CF, aps: cplx.CF, betas: cplx.CF, slot):
         ),
         input_output_aliases=aliases,
         interpret=_interpret(),
+        **_compiler_kwargs(),
     )(
         jnp.asarray([slot], jnp.int32),
         betas_arr,

@@ -94,3 +94,38 @@ def test_bf16_links_accuracy():
     b = cplx.to_numpy(op16.apply(psi32))
     rel = np.linalg.norm(b - a) / np.linalg.norm(a)
     assert rel < 1e-2, rel
+
+
+def test_fused_dirac_apply():
+    """apply_dirac computes psi - k D psi in one kernel pass, matching the
+    two-pass composition exactly."""
+    from mgpgcr_tpu.ops.dirac import DiracOperator
+    from mgpgcr_tpu.ops.pallas.dslash import links_to_tmajor
+
+    mesh, links_t, psi_t, ref_d = _problem((4, 6, 2, 8, 4, 3))
+    op = PallasWilsonDirac(links_to_tmajor(links_t), mesh, interpret=True)
+    k = cplx.from_scalar(0.13 + 0.02j, jnp.float64)
+    a = DiracOperator(op, k)
+    got = a.apply(psi_t)
+    want = psi_t - k * ref_d
+    np.testing.assert_allclose(
+        cplx.to_numpy(got), cplx.to_numpy(want), atol=1e-13
+    )
+
+
+def test_tmajor_build_and_layout_inference():
+    """build() stores t-major links for streaming-eligible problems; both
+    layouts produce identical results."""
+    from mgpgcr_tpu.ops.pallas.dslash import _links_is_tmajor, links_to_tmajor
+
+    mesh, links_t, psi_t, ref = _problem((4, 6, 2, 8, 4, 3))
+    op_mu = PallasWilsonDirac(links_t, mesh, interpret=True)
+    op_tm = PallasWilsonDirac(links_to_tmajor(links_t), mesh, interpret=True)
+    assert not _links_is_tmajor(op_mu.links)
+    assert _links_is_tmajor(op_tm.links)
+    np.testing.assert_allclose(
+        cplx.to_numpy(op_mu.apply(psi_t)), cplx.to_numpy(ref), atol=1e-13
+    )
+    np.testing.assert_allclose(
+        cplx.to_numpy(op_tm.apply(psi_t)), cplx.to_numpy(ref), atol=1e-13
+    )
