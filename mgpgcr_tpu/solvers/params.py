@@ -81,6 +81,14 @@ class MGParams:
     n_pre_smooth: int = 1
     n_post_smooth: int = 1
     coarse_format: str = "dense"  # "dense" (MXU matvec) or "bsr" (block-ELL)
+    # Galerkin assembly strategy: "phased" activates every block column at
+    # once with per-dimension root-of-unity phases and disentangles the
+    # 9-point couplings from O(9) batched operator applications —
+    # independent of the block count (requires a nearest-neighbour fine
+    # operator, the same locality the reference's assembly hardcodes,
+    # MG.h:206-278). "columns" sweeps block columns one at a time (no
+    # locality assumption; O(n_blocks) applications).
+    assembly: str = "phased"
     correction_damping: float = 1.0  # reference hardcodes 0.1 (MG.h:426, quirk Q2)
     # Levels: 2 = classic two-level (all the reference implements — its
     # n_level knob exists but recursive_solve was never written, MG.h:29,
