@@ -65,14 +65,29 @@ def gcr_solve(
     precond: Optional[Preconditioner] = None,
     x0=None,
     fused: bool | None = None,
+    left_precond: Optional[Preconditioner] = None,
 ) -> SolveResult:
     """Solve A x = rhs with flexible GCR. Jit-compatible (params/precond
     static); nests cleanly inside other jitted solvers.
+
+    ``precond`` is the flexible RIGHT preconditioner (z = M(r) becomes the
+    next search direction). ``left_precond`` is the textbook LEFT variant:
+    GCR runs on L(A v) and L(rhs), so convergence/history are measured in
+    the L-preconditioned residual norm; the returned x solves the original
+    system. Both may be composed. Restores the reference's two-slot
+    composition surface (SolverParam.h:13-14, applied GCR.h:197-204,
+    245-247 — where the reference applies `pleft` to Az and r each
+    iteration, algebraically the same iteration as preconditioning the
+    operator and rhs once).
 
     fused=True routes the iteration algebra through the fused Pallas
     streaming kernels (ops/pallas/gcr_kernels.py) — split re/im (CF)
     fields only; identical semantics, ~2x fewer HBM passes per iteration.
     Default: ``params.fused``."""
+    if left_precond is not None:
+        base_apply = a.apply if hasattr(a, "apply") else a
+        a = lambda v: left_precond(base_apply(v))  # noqa: E731
+        rhs = left_precond(rhs)
     if fused is None:
         fused = params.fused
     if fused and cplx.is_cf(rhs):
@@ -314,8 +329,11 @@ class GCRSolver:
     a: LinearOperator
     params: GCRParams
 
-    def solve(self, rhs, x0=None, precond=None) -> SolveResult:
-        return gcr_solve(self.a, rhs, self.params, precond=precond, x0=x0)
+    def solve(self, rhs, x0=None, precond=None, left_precond=None) -> SolveResult:
+        return gcr_solve(
+            self.a, rhs, self.params, precond=precond, x0=x0,
+            left_precond=left_precond,
+        )
 
     def __call__(self, rhs):
         return self.solve(rhs).x
@@ -329,7 +347,11 @@ jax.tree_util.register_dataclass(
 )
 
 
-@partial(jax.jit, static_argnames=("params", "precond"))
-def gcr_solve_jit(a, rhs, params: GCRParams, precond=None, x0=None) -> SolveResult:
+@partial(jax.jit, static_argnames=("params", "precond", "left_precond"))
+def gcr_solve_jit(
+    a, rhs, params: GCRParams, precond=None, x0=None, left_precond=None
+) -> SolveResult:
     """Convenience jitted entry point (operators must be pytrees)."""
-    return gcr_solve(a, rhs, params, precond=precond, x0=x0)
+    return gcr_solve(
+        a, rhs, params, precond=precond, x0=x0, left_precond=left_precond
+    )

@@ -228,3 +228,49 @@ def test_residual_refresh_tightens_true_residual():
     assert bool(fresh.converged)
     assert true_rel(fresh) < 5e-6
     assert true_rel(fresh) <= true_rel(plain) * 1.5  # at least as honest
+
+
+def test_gcr_left_preconditioning():
+    """Left preconditioning (SolverParam.h:13-14 'pleft'): GCR runs on
+    L(A v), L(b); x still solves the ORIGINAL system, and a good L cuts
+    iterations."""
+    a = _tridiag(48, seed=5)
+    rng = np.random.default_rng(7)
+    b = rng.standard_normal(48) + 1j * rng.standard_normal(48)
+    aj, bj = jnp.asarray(a), jnp.asarray(b)
+
+    # Jacobi left preconditioner
+    dinv = jnp.asarray(1.0 / np.diag(a))
+    left = lambda v: dinv * v  # noqa: E731
+
+    params = GCRParams(tol=1e-12, max_iter=300, restart=20)
+    res = gcr_solve(DenseOperator(aj), bj, params, left_precond=left)
+    assert bool(res.converged)
+    x_direct = np.linalg.solve(a, b)
+    np.testing.assert_allclose(np.asarray(res.x), x_direct, rtol=0, atol=1e-8)
+    # true (unpreconditioned) residual is small too
+    r = b - a @ np.asarray(res.x)
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-9
+
+
+def test_gcr_left_precond_composes_with_right():
+    """GCR-as-right-preconditioner under a Jacobi left preconditioner:
+    both reference slots (GCR.h:197-204, 245-247) active at once."""
+    a = _tridiag(32, seed=11)
+    rng = np.random.default_rng(13)
+    b = rng.standard_normal(32) + 1j * rng.standard_normal(32)
+    aj, bj = jnp.asarray(a), jnp.asarray(b)
+    dinv = jnp.asarray(1.0 / np.diag(a))
+    left = lambda v: dinv * v  # noqa: E731
+
+    inner = GCRSolver(DenseOperator(aj), GCRParams(tol=0.0, max_iter=4))
+    res = gcr_solve(
+        DenseOperator(aj),
+        bj,
+        GCRParams(tol=1e-11, max_iter=100, restart=10),
+        precond=inner.as_preconditioner(),
+        left_precond=left,
+    )
+    assert bool(res.converged)
+    r = b - a @ np.asarray(res.x)
+    assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-8
