@@ -4,69 +4,142 @@ The BASELINE.md north star asks for nnz/s and iteration throughput at
 1 chip / 1 host / N hosts with >=80% weak-scaling efficiency. This harness
 measures exactly that on whatever devices are visible:
 
-- real multi-chip TPU: run as-is (jax.distributed for multi-host);
+- real multi-chip TPU: run as-is on each host (``--coordinator`` /
+  MGPGCR_* env wires ``jax.distributed``; on TPU pods plain
+  ``jax.distributed.initialize()`` auto-detects);
 - development: fake an N-device CPU mesh with
-  XLA_FLAGS=--xla_force_host_platform_device_count=N JAX_PLATFORMS=cpu.
+  XLA_FLAGS=--xla_force_host_platform_device_count=N JAX_PLATFORMS=cpu,
+  or run a REAL multi-process rendezvous on one machine with
+  ``--launch N --devices-per-proc K`` (self-spawns N processes that meet
+  at a localhost coordinator; collectives cross process boundaries).
 
 Weak scaling grows the lattice T-extent with the device count (constant
 work per device); strong scaling fixes the global lattice. Results are
-JSON lines: one per (mode, n_devices).
+JSON lines: one per (mode, n_devices); ``--output`` also writes them to a
+file (rank 0 only).
 
 Usage:
   python benchmarks/scaling.py --mode weak --base-t 8 --lattice 8 8 8
   python benchmarks/scaling.py --mode strong --lattice 16 16 8 8
+  python benchmarks/scaling.py --launch 2 --devices-per-proc 4 --platform cpu
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
+import subprocess
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
-
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
-from mgpgcr_tpu import cplx  # noqa: E402
-from mgpgcr_tpu.mesh import LatticeMesh  # noqa: E402
-from mgpgcr_tpu.ops.dirac import DiracOperator  # noqa: E402
-from mgpgcr_tpu.ops.wilson_tpu import TpuWilsonDirac  # noqa: E402
-from mgpgcr_tpu.parallel import balanced_factors, make_lattice_device_mesh  # noqa: E402
-from mgpgcr_tpu.solvers.gcr import gcr_solve  # noqa: E402
-from mgpgcr_tpu.solvers.params import GCRParams  # noqa: E402
+
+def _launch(args, argv: list[str]) -> int:
+    """Spawn ``--launch N`` local processes that rendezvous over localhost.
+    This validates the REAL jax.distributed multi-process path (gRPC
+    coordinator, cross-process collectives) without pod hardware."""
+    n, k = args.launch, args.devices_per_proc
+    port = 18765 + (os.getpid() % 1000)
+    coord = f"127.0.0.1:{port}"
+    child_argv = [a for a in argv if not a.startswith("--launch")]
+    # strip the flag values too
+    cleaned, skip = [], False
+    for a in argv:
+        if skip:
+            skip = False
+            continue
+        if a in ("--launch", "--devices-per-proc"):
+            skip = True
+            continue
+        cleaned.append(a)
+    child_argv = cleaned
+    procs = []
+    for pid in range(n):
+        env = dict(os.environ)
+        env["MGPGCR_COORDINATOR"] = coord
+        env["MGPGCR_NUM_PROCESSES"] = str(n)
+        env["MGPGCR_PROCESS_ID"] = str(pid)
+        env["JAX_PLATFORMS"] = args.platform or "cpu"
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={k}"
+        ).strip()
+        out = None if pid == 0 else subprocess.DEVNULL
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, __file__, *child_argv], env=env, stdout=out
+            )
+        )
+    rc = 0
+    for p in procs:
+        rc |= p.wait()
+    return rc
 
 
 def measure(n_devices: int, dims: tuple[int, int, int, int], iters: int) -> dict:
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding
+
+    from mgpgcr_tpu import cplx
+    from mgpgcr_tpu.mesh import LatticeMesh
+    from mgpgcr_tpu.ops.dirac import DiracOperator
+    from mgpgcr_tpu.ops.wilson_tpu import TpuWilsonDirac
+    from mgpgcr_tpu.parallel import balanced_factors, make_lattice_device_mesh
+    from mgpgcr_tpu.solvers.gcr import gcr_solve
+    from mgpgcr_tpu.solvers.params import GCRParams
+
     st, sz = balanced_factors(n_devices, 2)
     dmesh = make_lattice_device_mesh(n_devices, ("t", "z"), (st, sz))
     mesh = LatticeMesh((*dims, 4, 3))
     t, z, y, xx = dims
     assert t % st == 0 and z % sz == 0, (dims, (st, sz))
 
-    from jax.sharding import NamedSharding
-
-    links = cplx.random(jax.random.PRNGKey(0), (4, 3, 3, t, z, y * xx), jnp.float32)
-    proto = TpuWilsonDirac(links, mesh, dmesh, "t", "z")
-    links = jax.device_put(links, NamedSharding(dmesh, proto._links_spec()))
-    d = TpuWilsonDirac(links, mesh, dmesh, "t", "z")
+    proto = TpuWilsonDirac(
+        cplx.CF(
+            jnp.zeros((4, 3, 3, t, z, y * xx), jnp.float32),
+            jnp.zeros((4, 3, 3, t, z, y * xx), jnp.float32),
+        ),
+        mesh,
+        dmesh,
+        "t",
+        "z",
+    )
+    # generate data ON DEVICE with explicit output shardings: correct and
+    # identical across processes (multi-process runs cannot device_put a
+    # host array onto non-addressable devices)
+    links_sh = NamedSharding(dmesh, proto._links_spec())
+    field_sh = NamedSharding(dmesh, proto._field_spec())
+    gen_links = jax.jit(
+        lambda: cplx.random(
+            jax.random.PRNGKey(0), (4, 3, 3, t, z, y * xx), jnp.float32
+        ),
+        out_shardings=cplx.CF(links_sh, links_sh),
+    )
+    gen_field = jax.jit(
+        lambda: cplx.random(jax.random.PRNGKey(1), (4, 3, t, z, y * xx), jnp.float32),
+        out_shardings=cplx.CF(field_sh, field_sh),
+    )
+    d = TpuWilsonDirac(gen_links(), mesh, dmesh, "t", "z")
     a = DiracOperator(d, cplx.from_scalar(0.05, jnp.float32))
-    rhs = d.shard_field(cplx.random(jax.random.PRNGKey(1), d.field_shape, jnp.float32))
+    rhs = gen_field()
 
     params = GCRParams(tol=0.0, max_iter=iters, restart=5)
     solve = jax.jit(lambda a, b: gcr_solve(a, b, params).x)
     out = solve(a, rhs)
-    float(jnp.sum(out.re))  # warm-up + true sync
+    jax.block_until_ready(out)  # warm-up (compile) + sync
     t0 = time.perf_counter()
     out = solve(a, rhs)
-    float(jnp.sum(out.re))
+    jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 
     sites = t * z * y * xx
     eff_nnz = 39 * 12 * sites
     return {
         "n_devices": n_devices,
+        "n_processes": jax.process_count(),
         "mesh_axes": [st, sz],
         "lattice": list(dims),
         "iters": iters,
@@ -89,22 +162,58 @@ def main() -> int:
     )
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--devices", type=int, nargs="*", default=None)
+    ap.add_argument("--output", help="also append JSON lines to this file (rank 0)")
     ap.add_argument(
         "--platform",
         help="force jax platform (this environment pins a TPU platform; "
         "env vars alone are too late — cpu runs need --platform cpu)",
     )
+    # multi-process: explicit rendezvous flags, or --launch self-spawn
+    ap.add_argument("--coordinator", help="host:port of rank-0 coordinator")
+    ap.add_argument("--num-processes", type=int)
+    ap.add_argument("--process-id", type=int)
+    ap.add_argument(
+        "--launch",
+        type=int,
+        help="self-spawn N local processes that rendezvous over localhost "
+        "(CPU validation of the multi-host path)",
+    )
+    ap.add_argument("--devices-per-proc", type=int, default=4)
     args = ap.parse_args()
-    if args.platform:
+
+    if args.launch:
+        return _launch(args, sys.argv[1:])
+
+    import jax
+
+    if args.platform and "MGPGCR_COORDINATOR" not in os.environ:
         jax.config.update("jax_platforms", args.platform)
 
+    from mgpgcr_tpu.parallel.dist import init_distributed, is_coordinator
+
+    dist = init_distributed(
+        coordinator=args.coordinator,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+    )
+
     n_avail = len(jax.devices())
-    counts = args.devices or [n for n in (1, 2, 4, 8, 16, 32) if n <= n_avail]
+    if dist.is_multiprocess:
+        # every process must join every collective: measure at the full
+        # global device count only
+        counts = [n_avail]
+    else:
+        counts = args.devices or [n for n in (1, 2, 4, 8, 16, 32) if n <= n_avail]
 
     results = []
+    out_f = None
+    if args.output and is_coordinator():
+        out_f = open(args.output, "a")
     for n in counts:
         if args.mode == "weak":
             z, y, xx = args.lattice[:3]
+            from mgpgcr_tpu.parallel import balanced_factors
+
             st, sz = balanced_factors(n, 2)
             dims = (args.base_t * st, z * sz, y, xx)
         else:
@@ -121,8 +230,14 @@ def main() -> int:
                 )
             else:
                 r["speedup"] = round(r["seconds"] and base["seconds"] / r["seconds"], 4)
-        print(json.dumps(r), flush=True)
+        if is_coordinator():
+            print(json.dumps(r), flush=True)
+            if out_f:
+                out_f.write(json.dumps(r) + "\n")
+                out_f.flush()
         results.append(r)
+    if out_f:
+        out_f.close()
     return 0
 
 

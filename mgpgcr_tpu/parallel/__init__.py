@@ -20,6 +20,13 @@ from mgpgcr_tpu.parallel.mesh import (
 )
 from mgpgcr_tpu.parallel.halo import periodic_shift
 from mgpgcr_tpu.parallel.wilson import ShardedWilsonDirac
+from mgpgcr_tpu.parallel.dist import (
+    DistConfig,
+    config_from_env,
+    init_distributed,
+    is_coordinator,
+    process_summary,
+)
 
 __all__ = [
     "balanced_factors",
@@ -30,4 +37,9 @@ __all__ = [
     "shard_links",
     "periodic_shift",
     "ShardedWilsonDirac",
+    "DistConfig",
+    "config_from_env",
+    "init_distributed",
+    "is_coordinator",
+    "process_summary",
 ]

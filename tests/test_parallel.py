@@ -193,3 +193,52 @@ def test_distributed_mg_gcr_tpu_layout(small_problem):
     r = b - a_single.apply(res.x)
     rel = float(jnp.sqrt(cplx.abs2_sum(r) / cplx.abs2_sum(b)))
     assert rel < 2e-7
+
+
+def test_dist_config_from_env(monkeypatch):
+    from mgpgcr_tpu.parallel.dist import config_from_env
+
+    monkeypatch.delenv("MGPGCR_COORDINATOR", raising=False)
+    monkeypatch.delenv("MGPGCR_NUM_PROCESSES", raising=False)
+    monkeypatch.delenv("MGPGCR_PROCESS_ID", raising=False)
+    assert config_from_env() is None
+
+    monkeypatch.setenv("MGPGCR_COORDINATOR", "node0:8476")
+    monkeypatch.setenv("MGPGCR_NUM_PROCESSES", "4")
+    monkeypatch.setenv("MGPGCR_PROCESS_ID", "2")
+    cfg = config_from_env()
+    assert cfg == ("node0:8476", 4, 2) or (
+        cfg.coordinator == "node0:8476"
+        and cfg.num_processes == 4
+        and cfg.process_id == 2
+    )
+    assert cfg.is_multiprocess
+
+    monkeypatch.delenv("MGPGCR_NUM_PROCESSES")
+    with pytest.raises(ValueError):
+        config_from_env()
+
+
+def test_init_distributed_single_process_noop(monkeypatch):
+    """With no topology configured, init_distributed never touches
+    jax.distributed (which would hang waiting for a coordinator)."""
+    from mgpgcr_tpu.parallel import dist
+
+    for var in (
+        "MGPGCR_COORDINATOR",
+        "MGPGCR_NUM_PROCESSES",
+        "MGPGCR_PROCESS_ID",
+        "SLURM_JOB_ID",
+        "OMPI_COMM_WORLD_SIZE",
+        "TPU_WORKER_HOSTNAMES",
+    ):
+        monkeypatch.delenv(var, raising=False)
+
+    def boom(*a, **k):  # pragma: no cover - would mean the guard failed
+        raise AssertionError("jax.distributed.initialize called")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    cfg = dist.init_distributed()
+    assert not cfg.is_multiprocess
+    assert cfg.num_processes == 1 and cfg.process_id == 0
+    assert dist.is_coordinator()
