@@ -7,5 +7,26 @@ phase timers, residual-trace artifacts, and jax.profiler hooks.
 
 from mgpgcr_tpu.utils.logging import RunLogger, Timer
 from mgpgcr_tpu.utils.trace import save_residual_trace, load_residual_trace
+from mgpgcr_tpu.utils.profiling import (
+    Roofline,
+    annotate,
+    chip_bandwidth,
+    dslash_roofline,
+    gcr_iteration_roofline,
+    roofline,
+    trace,
+)
 
-__all__ = ["RunLogger", "Timer", "save_residual_trace", "load_residual_trace"]
+__all__ = [
+    "RunLogger",
+    "Timer",
+    "save_residual_trace",
+    "load_residual_trace",
+    "Roofline",
+    "annotate",
+    "chip_bandwidth",
+    "dslash_roofline",
+    "gcr_iteration_roofline",
+    "roofline",
+    "trace",
+]
