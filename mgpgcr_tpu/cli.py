@@ -292,6 +292,10 @@ def _config_from_args(args):
         gcr = dataclasses.replace(gcr, max_iter=args.max_iter)
     if getattr(args, "restart", None) is not None:
         gcr = dataclasses.replace(gcr, restart=args.restart, truncation=0)
+    if getattr(args, "fused", False):
+        gcr = dataclasses.replace(gcr, fused=True)
+    if getattr(args, "residual_refresh", None) is not None:
+        gcr = dataclasses.replace(gcr, residual_refresh=args.residual_refresh)
     mg = cfg.mg
     if getattr(args, "mg", False) and mg is None:
         mg = MGParams()
@@ -300,6 +304,39 @@ def _config_from_args(args):
             mg = dataclasses.replace(mg, block=args.block)
         if getattr(args, "nullvecs", None):
             mg = dataclasses.replace(mg, n_nullvecs=args.nullvecs)
+        if getattr(args, "n_level", None):
+            mg = dataclasses.replace(mg, n_level=args.n_level)
+        if getattr(args, "coarse_block", None):
+            mg = dataclasses.replace(mg, coarse_block=args.coarse_block)
+        if getattr(args, "coarse_format", None):
+            mg = dataclasses.replace(mg, coarse_format=args.coarse_format)
+        if getattr(args, "assembly", None):
+            mg = dataclasses.replace(mg, assembly=args.assembly)
+        if getattr(args, "damping", None) is not None:
+            mg = dataclasses.replace(mg, correction_damping=args.damping)
+        # coarse-solve GCR knobs (reference config of record:
+        # 50 iters / tol 1e-2 / restart 10, main.cpp:851-856)
+        cg = mg.coarse_gcr
+        if getattr(args, "coarse_tol", None) is not None:
+            cg = dataclasses.replace(cg, tol=args.coarse_tol)
+        if getattr(args, "coarse_max_iter", None) is not None:
+            cg = dataclasses.replace(cg, max_iter=args.coarse_max_iter)
+        if getattr(args, "coarse_restart", None) is not None:
+            cg = dataclasses.replace(cg, restart=args.coarse_restart, truncation=0)
+        mg = dataclasses.replace(mg, coarse_gcr=cg)
+        # smoother: --no-smoother reproduces the reference's smoother-off
+        # config (additive coarse deflation); --smoother-iters N sizes it
+        if getattr(args, "no_smoother", False):
+            mg = dataclasses.replace(mg, smoother_gcr=None)
+        elif getattr(args, "smoother_iters", None):
+            mg = dataclasses.replace(
+                mg,
+                smoother_gcr=GCRParams(
+                    tol=0.0,
+                    max_iter=args.smoother_iters,
+                    truncation=min(args.smoother_iters, 4),
+                ),
+            )
     return dataclasses.replace(
         cfg,
         problem=pc,
@@ -325,9 +362,52 @@ def _add_common(p):
     p.add_argument("--tol", type=float)
     p.add_argument("--max-iter", dest="max_iter", type=int)
     p.add_argument("--restart", type=int)
+    p.add_argument("--fused", action="store_true", help="fused Pallas GCR algebra")
+    p.add_argument(
+        "--residual-refresh",
+        dest="residual_refresh",
+        type=int,
+        help="recompute true residual every N iterations (f32 deep solves)",
+    )
     p.add_argument("--mg", action="store_true", help="enable MG preconditioner")
     p.add_argument("--block", type=int, help="MG spacetime block extent")
     p.add_argument("--nullvecs", type=int, help="MG near-null vectors (pre-doubling)")
+    p.add_argument("--n-level", dest="n_level", type=int, help="MG levels (2 = two-level)")
+    p.add_argument(
+        "--coarse-block", dest="coarse_block", type=int,
+        help="block extent at levels >= 2",
+    )
+    p.add_argument(
+        "--coarse-format", dest="coarse_format", choices=["dense", "bsr"],
+        help="coarse operator storage",
+    )
+    p.add_argument(
+        "--assembly", choices=["phased", "columns"],
+        help="Galerkin assembly strategy",
+    )
+    p.add_argument(
+        "--coarse-tol", dest="coarse_tol", type=float, help="coarse GCR tol"
+    )
+    p.add_argument(
+        "--coarse-max-iter", dest="coarse_max_iter", type=int,
+        help="coarse GCR max iterations",
+    )
+    p.add_argument(
+        "--coarse-restart", dest="coarse_restart", type=int,
+        help="coarse GCR restart",
+    )
+    p.add_argument(
+        "--no-smoother", dest="no_smoother", action="store_true",
+        help="smoother off (the reference's config of record, main.cpp:840-858)",
+    )
+    p.add_argument(
+        "--smoother-iters", dest="smoother_iters", type=int,
+        help="GCR smoother iterations per pre/post pass",
+    )
+    p.add_argument(
+        "--damping", type=float,
+        help="coarse-correction damping (reference hardcodes 0.1, MG.h:426)",
+    )
     p.add_argument("--trace", help="residual trace output (.npz or .txt)")
     p.add_argument("--log", help="JSON-lines run log path")
     p.add_argument("-v", "--verbose", action="store_true")

@@ -181,3 +181,28 @@ def test_generate_fixture(tmp_path):
 
     m = read_parsed_txt(out)
     assert m.shape == (n, n) and m.nnz == n * 39
+
+
+@pytest.mark.skipif(not os.path.exists(FIXTURE), reason="fixture unavailable")
+def test_solve_mg_reference_config_of_record():
+    """The reference's MG config of record (main.cpp:840-858: smoother off,
+    coarse 50 it / tol 1e-2 / restart 10, block 4, 10 nullvecs) expressed
+    entirely as command-line flags."""
+    r = _run(
+        [
+            "solve", "--platform", "cpu",
+            "--matrix", FIXTURE,
+            "--k", "0.205", "--tol", "1e-8", "--max-iter", "600",
+            "--restart", "10",
+            "--mg", "--block", "4", "--nullvecs", "4",
+            "--no-smoother",
+            "--coarse-tol", "1e-2", "--coarse-max-iter", "50",
+            "--coarse-restart", "10",
+            "--coarse-format", "dense", "--assembly", "columns",
+            "--n-level", "2",
+        ],
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["converged"] and out["indep_relres"] < 1e-7
