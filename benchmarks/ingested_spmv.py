@@ -103,7 +103,7 @@ def main() -> int:
         try:
             dt = timeit(op)
         except Exception as e:  # noqa: BLE001
-            print(f"# {name}: FAILED {type(e).__name__}", file=sys.stderr)
+            print(f"# {name}: FAILED {type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
             continue
         print(
             json.dumps(

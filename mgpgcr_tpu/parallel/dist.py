@@ -100,7 +100,13 @@ def init_distributed(
             for k in ("SLURM_JOB_ID", "OMPI_COMM_WORLD_SIZE", "TPU_WORKER_HOSTNAMES")
         ):
             if not _initialized:
-                jax.distributed.initialize()
+                try:
+                    jax.distributed.initialize()
+                except (ValueError, RuntimeError):
+                    # A cluster-ish env var was present but JAX could not
+                    # resolve a coordinator from it (e.g. a single-chip TPU
+                    # tunnel exports TPU_WORKER_HOSTNAMES). Single process.
+                    return DistConfig(None, 1, 0)
                 _initialized = True
             return DistConfig(None, jax.process_count(), jax.process_index())
         return DistConfig(None, 1, 0)
