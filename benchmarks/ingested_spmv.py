@@ -58,8 +58,9 @@ def main() -> int:
     print(f"# matrix {n}x{n}, nnz={nnz}", file=sys.stderr)
 
     rdt = jnp.float32
-    ell = csr.to_ell()
-    ell = type(ell)(cplx.ascf(ell.vals, rdt), ell.cols, ell.n_cols)
+    # cf=True: re/im split host-side — a complex jnp.asarray would enqueue
+    # an unimplemented complex HBM transfer that poisons every later sync
+    ell = csr.to_ell(dtype=rdt, cf=True)
     st = StencilBlockOperator.from_csr(csr, dims, 12, cf=True, dtype=rdt)
     assert st is not None, "matrix is not a 12-blocked stencil on dims"
     on_tpu = jax.devices()[0].platform == "tpu"

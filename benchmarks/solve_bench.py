@@ -6,6 +6,12 @@ Fig. 1-2). This measures wall-clock and iterations for plain GCR vs
 MG-preconditioned GCR on a synthetic Wilson-Dirac system, with the fused
 Pallas Dslash on TPU (XLA slab path elsewhere). JSON-lines output.
 
+With ``--refine-tol 1e-11`` a third phase runs mixed-precision iterative
+refinement (solvers/refine.py): f32 MG-GCR solves on the accelerator,
+complex128 residuals against the scipy-CSR ground-truth operator on the
+host — the reference's tolerance regime (tol 1e-13, main.cpp:858) reached
+with TPU arithmetic.
+
 Usage: python benchmarks/solve_bench.py [--lattice 16 16 16 16] [--k 0.125]
 """
 
@@ -40,6 +46,12 @@ def main() -> int:
     ap.add_argument("--block", type=int, default=4)
     ap.add_argument("--nullvecs", type=int, default=6)
     ap.add_argument("--platform", help="force jax platform")
+    ap.add_argument(
+        "--refine-tol",
+        type=float,
+        help="also run mixed-precision refinement to this true complex128 "
+        "relative residual (e.g. 1e-11)",
+    )
     args = ap.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -95,6 +107,51 @@ def main() -> int:
         ),
         flush=True,
     )
+
+    if args.refine_tol:
+        import numpy as np
+        import scipy.sparse as sp
+
+        from mgpgcr_tpu.ops.wilson import materialize_csr, random_links_np
+        from mgpgcr_tpu.ops.wilson_tpu import field_from_tpu
+        from mgpgcr_tpu.solvers.refine import wilson_refined_solve
+
+        # ground-truth complex128 operator: the same seed-0 Haar links the
+        # CF path uses (random_links_cf seeds numpy identically), as a
+        # host scipy CSR matvec
+        csr = materialize_csr(random_links_np(0, mesh), mesh)
+        d_hi = sp.csr_matrix(
+            (np.asarray(csr.data), np.asarray(csr.indices), np.asarray(csr.indptr)),
+            shape=csr.shape,
+        )
+        apply_hi = lambda v: v - args.k * (d_hi @ v)  # noqa: E731
+        rhs_np = np.asarray(
+            cplx.to_numpy(field_from_tpu(rhs, mesh)), dtype=np.complex128
+        )
+        inner = GCRParams(tol=args.tol, max_iter=500, restart=5)
+        # warm-up: solve_lo compiles on the first refinement round; do one
+        # full refined solve untimed, then time the second
+        for phase in ("refine_warmup", "refine"):
+            t0 = time.perf_counter()
+            rr = wilson_refined_solve(
+                a, mesh, rhs_np, inner, apply_hi,
+                precond=mgp.apply, tol=args.refine_tol,
+            )
+            dt = time.perf_counter() - t0
+        print(
+            json.dumps(
+                {
+                    "phase": "refine",
+                    **out,
+                    "refine_tol": args.refine_tol,
+                    "converged": rr.converged,
+                    "rounds": rr.n_refine,
+                    "seconds": round(dt, 3),
+                    "true_relres": rr.final_relres,
+                }
+            ),
+            flush=True,
+        )
     return 0
 
 

@@ -160,7 +160,7 @@ class CSRMatrix:
         out[rows, self.indices] = self.data
         return out
 
-    def to_ell(self, dtype=None) -> ELLOperator:
+    def to_ell(self, dtype=None, cf: bool = False) -> ELLOperator:
         return ELLOperator.from_csr(
-            self.indptr, self.indices, self.data, self.shape[1], dtype=dtype
+            self.indptr, self.indices, self.data, self.shape[1], dtype=dtype, cf=cf
         )

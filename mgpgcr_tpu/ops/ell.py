@@ -62,14 +62,20 @@ class ELLOperator(LinearOperator):
         data: np.ndarray,
         n_cols: int,
         dtype=None,
+        cf: bool = False,
     ) -> "ELLOperator":
         """Pad CSR rows to the max row length. Padding entries have value 0
-        and column = their own row (a always-valid gather index)."""
+        and column = their own row (a always-valid gather index).
+
+        ``cf=True`` stores the values as split re/im ``cplx.CF`` (dtype is
+        then the REAL dtype, default f32). The split happens host-side:
+        complex HBM transfers are unimplemented on TPU backends, so a
+        complex ``jnp.asarray`` would poison the device queue."""
         indptr = np.asarray(indptr)
         n_rows = len(indptr) - 1
         counts = np.diff(indptr)
         k = int(counts.max()) if n_rows else 0
-        dt = dtype or data.dtype
+        dt = data.dtype if dtype is None or cf else dtype
         vals = np.zeros((n_rows, k), dtype=dt)
         cols = np.tile(
             np.minimum(np.arange(n_rows), n_cols - 1)[:, None], (1, max(k, 1))
@@ -79,4 +85,11 @@ class ELLOperator(LinearOperator):
         row_of = np.repeat(np.arange(n_rows), counts)
         vals[row_of, idx_in_row] = data.astype(dt)
         cols[row_of, idx_in_row] = indices.astype(np.int32)
+        if cf:
+            from mgpgcr_tpu import cplx
+
+            rdt = dtype or jnp.float32
+            return ELLOperator(
+                cplx.from_numpy(vals, rdt), jnp.asarray(cols), int(n_cols)
+            )
         return ELLOperator(jnp.asarray(vals), jnp.asarray(cols), int(n_cols))

@@ -78,6 +78,20 @@ def test_ell_matches_csr(rng):
     )
 
 
+def test_ell_cf_split_matches_complex(rng):
+    """cf=True stores split re/im values (host-side split: complex device
+    transfers are unimplemented on TPU) and must apply identically."""
+    from mgpgcr_tpu import cplx
+
+    a = _rand_sparse(rng)
+    m = CSRMatrix.from_dense(a)
+    ell_cf = m.to_ell(dtype=jnp.float64, cf=True)
+    assert cplx.is_cf(ell_cf.vals)
+    x = rng.standard_normal(a.shape[1]) + 1j * rng.standard_normal(a.shape[1])
+    y = ell_cf.apply(cplx.from_numpy(x, jnp.float64))
+    np.testing.assert_allclose(cplx.to_numpy(y), a @ x, atol=1e-13)
+
+
 def test_coo_roundtrip(rng):
     a = _rand_sparse(rng, 20)
     rows, cols = np.nonzero(a)
