@@ -104,8 +104,14 @@ def main() -> None:
     links = cplx.random(jax.random.PRNGKey(0), (4, 3, 3, t, z, y * xx), rdtype)
     if on_tpu:
         op32 = PallasWilsonDirac(links_to_tmajor(links), mesh)
+        # two-row (12-real) SU(3) compression: identical compute/memory
+        # shape on these random links (values are wrong, timing is exact;
+        # exactness for real SU(3) links is tested in tests/test_pallas.py)
+        op32c = op32.with_compressed_links()
+        op16c = with_link_dtype(op32c, jnp.bfloat16)
     else:  # CPU smoke path: XLA slab implementation, same layout/semantics
         op32 = TpuWilsonDirac(links, mesh)
+        op32c = op16c = None
     op16 = with_link_dtype(op32, jnp.bfloat16)
     psi = cplx.random(jax.random.PRNGKey(1), op32.field_shape, rdtype)
 
@@ -121,6 +127,11 @@ def main() -> None:
 
     detail = {"lattice": list(dims), "device": jax.devices()[0].device_kind}
     variants = [("f32_links", op32), ("bf16_links", op16)]
+    if op32c is not None:
+        variants += [
+            ("f32_links_2row", op32c),
+            ("bf16_links_2row", op16c),
+        ]
     times = {}
     for name, op in variants:
         dt = _time_apply(op, psi)
@@ -151,10 +162,13 @@ def main() -> None:
     except OSError:
         pass
 
-    best = times["bf16_links"]
+    # production config = the fastest storage variant (all are the same
+    # operator; storage tricks are exact-for-SU(3) or ~1e-3, see tests)
+    head = min(times, key=times.get) if on_tpu else "bf16_links"
+    best = times[head]
     nnz_per_s = eff_nnz / best
     print(
-        f"# headline: bf16-link production config, lattice {dims}, "
+        f"# headline: {head} production config, lattice {dims}, "
         f"{best*1e6:.0f} us/apply, device={jax.devices()[0].device_kind}",
         file=sys.stderr,
     )

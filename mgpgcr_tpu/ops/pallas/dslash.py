@@ -196,6 +196,29 @@ def _links_is_tmajor(links: cplx.CF) -> bool:
     return links.shape[1] == 4  # mu-major is (4, 3, 3, ...): shape[1] == 3
 
 
+def compress_links_tmajor(links_tmajor: cplx.CF) -> cplx.CF:
+    """(T, 4, 3, 3, Z, V) -> (T, 4, 2, 3, Z, V): drop the third row of every
+    SU(3) link (the standard 12-real gauge compression — row 2 of a special
+    unitary matrix is conj(row0 x row1), reconstructed in-kernel). Cuts link
+    HBM traffic by a third; valid ONLY for links that are actually SU(3)."""
+    assert _links_is_tmajor(links_tmajor), "compress wants t-major links"
+    return links_tmajor[:, :, :2]
+
+
+def _reconstruct_su3(u2: cplx.CF, fdt) -> cplx.CF:
+    """(2, 3, ...) two-row CF -> (3, 3, ...) full SU(3): row2 =
+    conj(row0 x row1). Rows are upcast to the field dtype first so bf16
+    storage reconstructs at f32 arithmetic precision."""
+    r = u2.astype(fdt)
+    r0, r1 = r[0], r[1]
+    rows2 = [
+        cplx.conj(r0[b] * r1[c] - r0[c] * r1[b])
+        for (b, c) in ((1, 2), (2, 0), (0, 1))
+    ]
+    r2 = cplx.stack(rows2, axis=0)
+    return cplx.concatenate([r, cplx.CF(r2.re[None], r2.im[None])], axis=0)
+
+
 def _dslash_stream_kernel(
     k_ref,         # (1, 2) SMEM: complex k of A = I - k D (unused if not fused)
     pn_re, pn_im,  # psi plane (i+1) % nt          (4, 3, 1, Z, V)
@@ -210,6 +233,7 @@ def _dslash_stream_kernel(
     y: int,
     xx: int,
     fuse_dirac: bool,
+    compressed: bool = False,
 ):
     """t-plane streaming Dslash: grid over t, one output plane per step.
 
@@ -242,8 +266,14 @@ def _dslash_stream_kernel(
     center = cplx.CF(ps_re[slot], ps_im[slot])     # (4, 3, 1, Z, V)
     prev = cplx.CF(ps_re[prev_slot], ps_im[prev_slot])
     nxt = cplx.CF(pn_re[...], pn_im[...])
-    u = cplx.CF(uc_re[0], uc_im[0])                # (4, 3, 3, Z, V)
-    ut_prev = cplx.CF(us_re[prev_slot], us_im[prev_slot])  # (3, 3, Z, V)
+    fdt = out_re.dtype
+    u = cplx.CF(uc_re[0], uc_im[0])                # (4, R, 3, Z, V), R=3|2
+    ut_prev = cplx.CF(us_re[prev_slot], us_im[prev_slot])  # (R, 3, Z, V)
+    if compressed:
+        ut_prev = _reconstruct_su3(ut_prev, fdt)
+
+    def u_mu(mu: int) -> cplx.CF:
+        return _reconstruct_su3(u[mu], fdt) if compressed else u[mu]
 
     v = out_re.shape[-1]
     xcoord = lax.broadcasted_iota(jnp.int32, (1, 1, 1, v), 3) % xx
@@ -274,7 +304,7 @@ def _dslash_stream_kernel(
 
     # t hops read the neighbour planes directly (no shifts, no halos)
     g = colour_mul(
-        u[0], project_half([nxt[s] for s in range(4)], 0, True), dagger=False
+        u_mu(0), project_half([nxt[s] for s in range(4)], 0, True), dagger=False
     )
     out = accumulate_half(out, g, 0, True)
     w = colour_mul(
@@ -283,12 +313,13 @@ def _dslash_stream_kernel(
     out = accumulate_half(out, w, 0, False)
 
     for mu in (1, 2, 3):
+        um = u_mu(mu)
         h = project_half(psi_slabs, mu, True)
         h = [shift_local(hq, mu, True) for hq in h]
-        g = colour_mul(u[mu], h, dagger=False)
+        g = colour_mul(um, h, dagger=False)
         out = accumulate_half(out, g, mu, True)
 
-        w = colour_mul(u[mu], project_half(psi_slabs, mu, False), dagger=True)
+        w = colour_mul(um, project_half(psi_slabs, mu, False), dagger=True)
         w = [shift_local(wq, mu, False) for wq in w]
         out = accumulate_half(out, w, mu, False)
 
@@ -321,6 +352,7 @@ def _dslash_stream(
     fdt = psi.re.dtype
     ldt = links.re.dtype
     assert _links_is_tmajor(links), "streaming kernel wants t-major links"
+    nrow = links.shape[2]  # 3 full, 2 compressed (compress_links_tmajor)
 
     def vspec(shape, index_map):
         return pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)
@@ -329,8 +361,8 @@ def _dslash_stream(
         vspec((4, 3, 1, z, v), lambda i: (0, 0, (i + 1) % nt, 0, 0)),
         vspec((4, 3, 1, z, v), lambda i: (0, 0, 0, 0, 0)),
         vspec((4, 3, 1, z, v), lambda i: (0, 0, nt - 1, 0, 0)),
-        vspec((1, 4, 3, 3, z, v), lambda i: (i, 0, 0, 0, 0, 0)),
-        vspec((1, 1, 3, 3, z, v), lambda i: (nt - 1, 0, 0, 0, 0, 0)),
+        vspec((1, 4, nrow, 3, z, v), lambda i: (i, 0, 0, 0, 0, 0)),
+        vspec((1, 1, nrow, 3, z, v), lambda i: (nt - 1, 0, 0, 0, 0, 0)),
     ]
     out_spec = vspec((4, 3, 1, z, v), lambda i: (0, 0, i, 0, 0))
 
@@ -348,7 +380,7 @@ def _dslash_stream(
         flat_args += [a.re, a.im]
 
     kernel = functools.partial(
-        _dslash_stream_kernel, y=y, xx=xx, fuse_dirac=fuse
+        _dslash_stream_kernel, y=y, xx=xx, fuse_dirac=fuse, compressed=nrow == 2
     )
     kwargs = {}
     if not interpret:
@@ -367,8 +399,8 @@ def _dslash_stream(
         scratch_shapes=[
             pltpu.VMEM((2, 4, 3, 1, z, v), fdt),
             pltpu.VMEM((2, 4, 3, 1, z, v), fdt),
-            pltpu.VMEM((2, 3, 3, z, v), ldt),
-            pltpu.VMEM((2, 3, 3, z, v), ldt),
+            pltpu.VMEM((2, nrow, 3, z, v), ldt),
+            pltpu.VMEM((2, nrow, 3, z, v), ldt),
         ],
         interpret=interpret,
         **kwargs,
@@ -518,7 +550,12 @@ class PallasWilsonDirac(LinearOperator):
 
     @staticmethod
     def build(
-        links_canonical, mesh: LatticeMesh, tb=None, zb=None, interpret=False
+        links_canonical,
+        mesh: LatticeMesh,
+        tb=None,
+        zb=None,
+        interpret=False,
+        compress=False,
     ) -> "PallasWilsonDirac":
         links = links_to_tpu(links_canonical, mesh)
         t, z, y, xx = mesh.spacetime_dims
@@ -526,7 +563,21 @@ class PallasWilsonDirac(LinearOperator):
         streaming = (tb in (None, 1)) and (zb in (None, z)) and zb0 == z
         if streaming:
             links = links_to_tmajor(links)
+            if compress:
+                links = compress_links_tmajor(links)
+        elif compress:
+            raise ValueError("link compression requires the streaming kernel")
         return PallasWilsonDirac(links, mesh, tb, zb, interpret)
+
+    def with_compressed_links(self) -> "PallasWilsonDirac":
+        """Two-row (12-real) SU(3) link storage: the kernel reconstructs
+        row 2 as conj(row0 x row1). ~29% less HBM traffic per apply at f32
+        (~17% at bf16 links); exact only for true SU(3) links."""
+        import dataclasses
+
+        return dataclasses.replace(
+            self, links=compress_links_tmajor(self.links)
+        )
 
     @property
     def shape(self) -> tuple[int, int]:

@@ -129,3 +129,43 @@ def test_tmajor_build_and_layout_inference():
     np.testing.assert_allclose(
         cplx.to_numpy(op_tm.apply(psi_t)), cplx.to_numpy(ref), atol=1e-13
     )
+
+
+def test_compressed_links_exact_for_su3():
+    """Two-row (12-real) storage reconstructs row2 = conj(row0 x row1)
+    in-kernel; exact (to f64 roundoff) for true SU(3) links."""
+    from mgpgcr_tpu.ops.pallas.dslash import links_to_tmajor
+
+    mesh, links_t, psi_t, ref = _problem((4, 6, 2, 8, 4, 3))
+    op = PallasWilsonDirac(links_to_tmajor(links_t), mesh, interpret=True)
+    opc = op.with_compressed_links()
+    assert opc.links.shape[2] == 2
+    np.testing.assert_allclose(
+        cplx.to_numpy(opc.apply(psi_t)), cplx.to_numpy(ref), atol=1e-12
+    )
+    # fused A = I - kD agrees too
+    k = 0.137
+    got = opc.apply_dirac(psi_t, k)
+    want = psi_t - k * ref
+    np.testing.assert_allclose(
+        cplx.to_numpy(got), cplx.to_numpy(want), atol=1e-12
+    )
+
+
+def test_compressed_links_bf16_accuracy():
+    """bf16 two-row storage: reconstruction in f32 keeps the relative
+    error at the bf16-storage level (~1e-2 elementwise, ~2e-3 rms)."""
+    from mgpgcr_tpu.ops.pallas.dslash import links_to_tmajor
+    from mgpgcr_tpu.ops.wilson_tpu import with_link_dtype
+
+    mesh = LatticeMesh((4, 6, 2, 8, 4, 3))
+    links = random_links(jax.random.PRNGKey(0), mesh)
+    psi = fields.random_field(jax.random.PRNGKey(1), mesh)
+    links_t = links_to_tpu(cplx.ascf(links, jnp.float32), mesh)
+    psi_t = field_to_tpu(cplx.ascf(psi, jnp.float32), mesh)
+    op32 = PallasWilsonDirac(links_to_tmajor(links_t), mesh, interpret=True)
+    ref = cplx.to_numpy(op32.apply(psi_t))
+    op16c = with_link_dtype(op32, jnp.bfloat16).with_compressed_links()
+    got = cplx.to_numpy(op16c.apply(psi_t))
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 5e-3, rel
