@@ -1,0 +1,135 @@
+"""Even-odd (red-black) decomposition: parity blocks vs the full stencil,
+Schur-complement solve exactness, and iteration-count behaviour.
+
+The reference has no even-odd path (it always solves the full system,
+GCR.h:159-302); these tests pin the beyond-parity capability to the same
+operator semantics: D restricted to parity blocks must match the full
+``TpuWilsonDirac`` hopping matrix, and the reconstructed Schur solution
+must solve the original A x = b."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mgpgcr_tpu import cplx, fields
+from mgpgcr_tpu.mesh import LatticeMesh
+from mgpgcr_tpu.ops.dirac import DiracOperator
+from mgpgcr_tpu.ops.eo import (
+    EvenOddWilson,
+    field_from_eo,
+    field_to_eo,
+    make_schur,
+)
+from mgpgcr_tpu.ops.wilson import random_links
+from mgpgcr_tpu.ops.wilson_tpu import TpuWilsonDirac, field_to_tpu, links_to_tpu
+from mgpgcr_tpu.solvers.eo import eo_solve
+from mgpgcr_tpu.solvers.gcr import gcr_solve
+from mgpgcr_tpu.solvers.params import GCRParams
+
+DIMS = (4, 4, 2, 8, 4, 3)
+
+
+def _problem(dims=DIMS, seed=0):
+    mesh = LatticeMesh(dims)
+    links = random_links(jax.random.PRNGKey(seed), mesh)
+    links_t = links_to_tpu(cplx.ascf(links, jnp.float64), mesh)
+    psi = field_to_tpu(
+        cplx.ascf(fields.random_field(jax.random.PRNGKey(seed + 1), mesh), jnp.float64),
+        mesh,
+    )
+    full = TpuWilsonDirac(links_t, mesh)
+    eo = EvenOddWilson.from_full(links_t, mesh)
+    return mesh, full, eo, psi
+
+
+def _parity_mask(mesh):
+    """(T, Z, Y*X) bool: True on odd-parity sites."""
+    t, z, y, xx = mesh.spacetime_dims
+    tt, zz, yy, xv = np.meshgrid(
+        np.arange(t), np.arange(z), np.arange(y), np.arange(xx), indexing="ij"
+    )
+    m = (tt + zz + yy + xv) % 2 == 1
+    return jnp.asarray(m.reshape(t, z, y * xx))
+
+
+def test_split_roundtrip():
+    mesh, _, _, psi = _problem()
+    e, o = field_to_eo(psi, mesh)
+    back = field_from_eo(e, o, mesh)
+    np.testing.assert_array_equal(cplx.to_numpy(back), cplx.to_numpy(psi))
+
+
+def test_split_selects_parities():
+    """Even field holds exactly the even-parity sites."""
+    mesh, _, _, psi = _problem()
+    odd_mask = _parity_mask(mesh)
+    only_even = cplx.where(odd_mask, cplx.zeros_like(psi), psi)
+    e, o = field_to_eo(only_even, mesh)
+    assert float(jnp.max(jnp.abs(o.re))) == 0.0
+    assert float(jnp.max(jnp.abs(o.im))) == 0.0
+    assert float(jnp.max(jnp.abs(e.re))) > 0.0
+
+
+@pytest.mark.parametrize("parity_out", [0, 1])
+def test_parity_blocks_match_full_stencil(parity_out):
+    """D_eo / D_oe equal the full hopping matrix restricted by parity."""
+    mesh, full, eo, psi = _problem()
+    odd_mask = _parity_mask(mesh)
+    # zero out the non-input parity, apply full D, read the output parity
+    if parity_out == 0:  # input odd
+        masked = cplx.where(odd_mask, psi, cplx.zeros_like(psi))
+    else:
+        masked = cplx.where(odd_mask, cplx.zeros_like(psi), psi)
+    ref_e, ref_o = field_to_eo(full.apply(masked), mesh)
+    in_e, in_o = field_to_eo(psi, mesh)
+    if parity_out == 0:
+        got, ref = eo.apply_eo(in_o), ref_e
+    else:
+        got, ref = eo.apply_oe(in_e), ref_o
+    np.testing.assert_allclose(
+        cplx.to_numpy(got), cplx.to_numpy(ref), atol=1e-13
+    )
+
+
+def test_schur_solve_solves_full_system():
+    """eo_solve's reconstructed x satisfies (I - kD) x = b to tolerance."""
+    mesh, full, eo, _ = _problem()
+    k = 0.12
+    b = field_to_tpu(
+        cplx.ascf(fields.random_field(jax.random.PRNGKey(7), mesh), jnp.float64),
+        mesh,
+    )
+    params = GCRParams(tol=1e-12, max_iter=400, restart=10)
+    res = eo_solve(eo, k, b, params)
+    assert bool(res.converged)
+    a = DiracOperator(full, cplx.from_scalar(k, jnp.float64))
+    r = b - a.apply(res.x)
+    relres = float(
+        jnp.sqrt(cplx.abs2_sum(r) / cplx.abs2_sum(b))
+    )
+    assert relres < 1e-10
+
+
+def test_schur_iterations_beat_full_solve():
+    """The Schur system (squared spectrum) converges in fewer iterations
+    than the full system at the same k and tolerance."""
+    mesh, full, eo, _ = _problem()
+    k = 0.14
+    b = field_to_tpu(
+        cplx.ascf(fields.random_field(jax.random.PRNGKey(9), mesh), jnp.float64),
+        mesh,
+    )
+    params = GCRParams(tol=1e-10, max_iter=600, restart=10)
+    res_full = gcr_solve(
+        DiracOperator(full, cplx.from_scalar(k, jnp.float64)), b, params
+    )
+    res_eo = eo_solve(eo, k, b, params)
+    assert bool(res_full.converged) and bool(res_eo.converged)
+    assert int(res_eo.n_iters) < int(res_full.n_iters)
+
+
+def test_schur_operator_shape():
+    mesh, _, eo, _ = _problem()
+    s = make_schur(eo, 0.1, jnp.float64)
+    assert s.shape == (mesh.size // 2, mesh.size // 2)
