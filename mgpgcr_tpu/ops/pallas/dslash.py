@@ -52,14 +52,14 @@ _ZHALO = 8  # minimum legal z-block thickness for halo views
 
 
 def _roll_static(x, shift: int, axis: int):
-    """Static-shift periodic roll via slice+concat (Mosaic-safe)."""
+    """Static-shift periodic roll via the TPU rotate unit (``pltpu.roll``
+    lowers to a single lane/sublane rotate, vs two VMEM copies for the
+    slice+concat formulation; matches ``jnp.roll`` semantics)."""
     size = x.shape[axis]
     shift %= size
     if shift == 0:
         return x
-    hi = lax.slice_in_dim(x, size - shift, size, axis=axis)
-    lo = lax.slice_in_dim(x, 0, size - shift, axis=axis)
-    return lax.concatenate([hi, lo], dimension=axis)
+    return pltpu.roll(x, shift, axis)
 
 
 def _cf_roll(v: cplx.CF, shift: int, axis: int) -> cplx.CF:
@@ -253,6 +253,11 @@ def _dslash_stream_kernel(
     two = jnp.asarray(2, jnp.asarray(i).dtype)
     slot = lax.rem(i, two)
     prev_slot = lax.rem(i + 1, two)  # (i - 1) % 2
+    fdt = out_re.dtype
+
+    def full_u(cf: cplx.CF) -> cplx.CF:
+        """Storage link -> full f32 3x3 (reconstruct row 2 if 2-row)."""
+        return _reconstruct_su3(cf, fdt) if compressed else cf
 
     @pl.when(i == 0)
     def _prime():
@@ -260,20 +265,22 @@ def _dslash_stream_kernel(
         ps_im[0] = pf_im[...]
         ps_re[1] = pq_re[...]
         ps_im[1] = pq_im[...]
-        us_re[1] = ul_re[0, 0]
-        us_im[1] = ul_im[0, 0]
+        # U_t scratch holds *reconstructed, field-dtype* links so the
+        # backward-t hop never re-reconstructs or re-casts a carried plane
+        ul = full_u(cplx.CF(ul_re[0, 0], ul_im[0, 0]))
+        us_re[1] = ul.re.astype(fdt)
+        us_im[1] = ul.im.astype(fdt)
 
     center = cplx.CF(ps_re[slot], ps_im[slot])     # (4, 3, 1, Z, V)
     prev = cplx.CF(ps_re[prev_slot], ps_im[prev_slot])
     nxt = cplx.CF(pn_re[...], pn_im[...])
-    fdt = out_re.dtype
     u = cplx.CF(uc_re[0], uc_im[0])                # (4, R, 3, Z, V), R=3|2
-    ut_prev = cplx.CF(us_re[prev_slot], us_im[prev_slot])  # (R, 3, Z, V)
-    if compressed:
-        ut_prev = _reconstruct_su3(ut_prev, fdt)
+    ut_prev = cplx.CF(us_re[prev_slot], us_im[prev_slot])  # (3, 3, Z, V) fdt
+
+    u0 = full_u(u[0])
 
     def u_mu(mu: int) -> cplx.CF:
-        return _reconstruct_su3(u[mu], fdt) if compressed else u[mu]
+        return u0 if mu == 0 else full_u(u[mu])
 
     v = out_re.shape[-1]
     xcoord = lax.broadcasted_iota(jnp.int32, (1, 1, 1, v), 3) % xx
@@ -337,8 +344,8 @@ def _dslash_stream_kernel(
     # carry for the next step: plane i+1 -> slot (i+1) % 2, U_t(i) -> slot i % 2
     ps_re[prev_slot] = pn_re[...]
     ps_im[prev_slot] = pn_im[...]
-    us_re[slot] = uc_re[0, 0]
-    us_im[slot] = uc_im[0, 0]
+    us_re[slot] = u0.re.astype(fdt)
+    us_im[slot] = u0.im.astype(fdt)
 
 
 def _dslash_stream(
@@ -350,7 +357,6 @@ def _dslash_stream(
     v = y * xx
     nt = t
     fdt = psi.re.dtype
-    ldt = links.re.dtype
     assert _links_is_tmajor(links), "streaming kernel wants t-major links"
     nrow = links.shape[2]  # 3 full, 2 compressed (compress_links_tmajor)
 
@@ -399,8 +405,9 @@ def _dslash_stream(
         scratch_shapes=[
             pltpu.VMEM((2, 4, 3, 1, z, v), fdt),
             pltpu.VMEM((2, 4, 3, 1, z, v), fdt),
-            pltpu.VMEM((2, nrow, 3, z, v), ldt),
-            pltpu.VMEM((2, nrow, 3, z, v), ldt),
+            # carried U_t planes are stored reconstructed in field dtype
+            pltpu.VMEM((2, 3, 3, z, v), fdt),
+            pltpu.VMEM((2, 3, 3, z, v), fdt),
         ],
         interpret=interpret,
         **kwargs,
