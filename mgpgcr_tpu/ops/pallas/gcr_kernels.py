@@ -168,27 +168,44 @@ def update_xr(x: cplx.CF, r: cplx.CF, ps: cplx.CF, aps: cplx.CF, slot, alpha: cp
 # ---------------------------------------------------------------------------
 # K2: raw_s = <aps_s, az>
 # ---------------------------------------------------------------------------
-def _k2_kernel(aps_re, aps_im, az_re, az_im, out_ref):
-    s = aps_re.shape[0]
+def _k2_kernel(aps_re, aps_im, az_re, az_im, out_ref, *, s: int, lim: int):
     zr, zi = az_re[...], az_im[...]
-    for j in range(s):
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        # slots beyond the valid prefix are never streamed; their dot rows
+        # must still hold zeros (the caller's ap_norms mask discards them,
+        # but uninitialised SMEM could be NaN)
+        for j in range(lim, s):
+            out_ref[j, 0] = jnp.zeros((), out_ref.dtype)
+            out_ref[j, 1] = jnp.zeros((), out_ref.dtype)
+
+    for j in range(lim):
         ar, ai = aps_re[j], aps_im[j]
         _acc(out_ref, (j, 0), jnp.sum(ar * zr + ai * zi))
         _acc(out_ref, (j, 1), jnp.sum(ar * zi - ai * zr))
 
 
-def beta_dots(aps: cplx.CF, az: cplx.CF) -> cplx.CF:
-    """<aps_s, az> for every stored direction, one streaming pass."""
+def beta_dots(aps: cplx.CF, az: cplx.CF, lim: int | None = None) -> cplx.CF:
+    """<aps_s, az> for the stored directions, one streaming pass.
+
+    ``lim`` (static) bounds the valid direction count: only stack rows
+    [0:lim] are streamed from HBM — with restart R the valid count cycles
+    1..R, so reading the full stack every iteration would move ~2x the
+    needed bytes. Valid slots are always a prefix (the ring fills 0,1,2,..
+    after each restart wipe). Rows >= lim return 0.
+    """
     dt = az.dtype
     z2 = _as2d(az.re)
     m, n = z2.shape
     s = aps.shape[0]
-    rows = _chunk_rows(m, n, 2 * (s + 1))
+    lim = s if lim is None else lim
+    rows = _chunk_rows(m, n, 2 * (lim + 1))
     grid = (m // rows,)
-    stack = _vspec((s, rows, n), lambda i: (0, i, 0))
+    stack = _vspec((max(lim, 1), rows, n), lambda i: (0, i, 0))
     field = _vspec((rows, n), lambda i: (i, 0))
     out = pl.pallas_call(
-        _k2_kernel,
+        functools.partial(_k2_kernel, s=s, lim=lim),
         grid=grid,
         in_specs=[stack, stack, field, field],
         out_specs=_smem((s, 2), lambda i: (0, 0)),
@@ -205,18 +222,22 @@ def beta_dots(aps: cplx.CF, az: cplx.CF) -> cplx.CF:
 # ---------------------------------------------------------------------------
 # K3: direction update written in place into the stack slot
 # ---------------------------------------------------------------------------
-def _k3_kernel(
-    slot_ref,
-    betas_ref,
-    z_re, z_im, az_re, az_im, r_re, r_im,
-    ps_re, ps_im, aps_re, aps_im,
-    ops_re, ops_im, oaps_re, oaps_im, apn_ref, apr_ref,
-):
+def _k3_kernel(slot_ref, betas_ref, *refs, lim: int, with_r: bool):
     del slot_ref
-    s = ps_re.shape[0]
+    if with_r:
+        (z_re, z_im, az_re, az_im, r_re, r_im,
+         ps_re, ps_im, aps_re, aps_im,
+         ops_re, ops_im, oaps_re, oaps_im, apn_ref, apr_ref) = refs
+    else:
+        # unpreconditioned iteration: z IS r, so <ap, r> dots against the
+        # z window instead of streaming the same field a second time
+        (z_re, z_im, az_re, az_im,
+         ps_re, ps_im, aps_re, aps_im,
+         ops_re, ops_im, oaps_re, oaps_im, apn_ref, apr_ref) = refs
+        r_re, r_im = z_re, z_im
     p_re, p_im = z_re[...], z_im[...]
     a_re, a_im = az_re[...], az_im[...]
-    for j in range(s):
+    for j in range(lim):
         br = betas_ref[j, 0]
         bi = betas_ref[j, 1]
         p_re = p_re - (br * ps_re[j] - bi * ps_im[j])
@@ -233,29 +254,41 @@ def _k3_kernel(
     _acc(apr_ref, (0, 1), jnp.sum(a_re * ri - a_im * rr))
 
 
-def dir_update(z, az, r, ps: cplx.CF, aps: cplx.CF, betas: cplx.CF, slot):
+def dir_update(
+    z, az, r, ps: cplx.CF, aps: cplx.CF, betas: cplx.CF, slot,
+    lim: int | None = None,
+):
     """p = z - sum betas ps, ap = az - sum betas aps, stored into stack row
     `slot` in place (other rows pass through untouched via output
-    aliasing). Returns (ps', aps', ap_norm2, <ap, r>)."""
+    aliasing). Returns (ps', aps', ap_norm2, <ap, r>).
+
+    ``lim`` (static) bounds the correction sum to the valid stack prefix
+    [0:lim] — only those rows are streamed (betas for empty slots are zero
+    anyway, but streaming them would double the pass's HBM traffic at
+    restart R on average).
+
+    ``r=None`` marks the unpreconditioned iteration (z is r): the <ap, r>
+    dot then reuses the z window, saving one full-field HBM read."""
     dt = az.dtype
     z2 = _as2d(az.re)
     m, n = z2.shape
     s = ps.shape[0]
-    rows = _chunk_rows(m, n, 2 * (4 * s + 5))
+    lim = s if lim is None else lim
+    with_r = r is not None
+    rows = _chunk_rows(m, n, 2 * (4 * lim + 3 + (2 if with_r else 0)))
     grid = (m // rows,)
 
     field = _vspec((rows, n), lambda i, sl: (i, 0))
-    stack_in = _vspec((s, rows, n), lambda i, sl: (0, i, 0))
+    stack_in = _vspec((max(lim, 1), rows, n), lambda i, sl: (0, i, 0))
     stack_out = _vspec((1, rows, n), lambda i, sl: (sl[0], i, 0))
 
+    n_fields = 6 if with_r else 4
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
-        in_specs=[
-            _smem((s, 2), lambda i, sl: (0, 0)),
-            field, field, field, field, field, field,
-            stack_in, stack_in, stack_in, stack_in,
-        ],
+        in_specs=[_smem((s, 2), lambda i, sl: (0, 0))]
+        + [field] * n_fields
+        + [stack_in, stack_in, stack_in, stack_in],
         out_specs=(
             stack_out, stack_out, stack_out, stack_out,
             _smem((1, 1), lambda i, sl: (0, 0)),
@@ -265,9 +298,13 @@ def dir_update(z, az, r, ps: cplx.CF, aps: cplx.CF, betas: cplx.CF, slot):
     betas_arr = jnp.stack([betas.re, betas.im], axis=1).astype(dt)
     # aliases: operand k -> output k', counting pallas_call positional args
     # (scalar-prefetch arg included) so the stacks update in place
-    aliases = {8: 0, 9: 1, 10: 2, 11: 3}
+    first_stack = 2 + n_fields
+    aliases = {first_stack + j: j for j in range(4)}
+    field_args = [_as2d(z.re), _as2d(z.im), _as2d(az.re), _as2d(az.im)]
+    if with_r:
+        field_args += [_as2d(r.re), _as2d(r.im)]
     ops_re, ops_im, oaps_re, oaps_im, apn, apr = pl.pallas_call(
-        _k3_kernel,
+        functools.partial(_k3_kernel, lim=lim, with_r=with_r),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((s, m, n), dt),
@@ -283,8 +320,7 @@ def dir_update(z, az, r, ps: cplx.CF, aps: cplx.CF, betas: cplx.CF, slot):
     )(
         jnp.asarray([slot], jnp.int32),
         betas_arr,
-        _as2d(z.re), _as2d(z.im), _as2d(az.re), _as2d(az.im),
-        _as2d(r.re), _as2d(r.im),
+        *field_args,
         ps.re.reshape(s, m, n), ps.im.reshape(s, m, n),
         aps.re.reshape(s, m, n), aps.im.reshape(s, m, n),
     )

@@ -271,7 +271,21 @@ def _gcr_solve_fused(a, rhs, params: GCRParams, precond, x0) -> SolveResult:
         z = precond(r) if precond is not None else r
         az = apply_a(z)
 
-        raw = gk.beta_dots(aps, az)
+        # valid stored directions always form the stack prefix [0:lim]
+        # (slots fill 0,1,2,.. after every restart wipe): dispatch to
+        # kernels specialised per prefix length so K2/K3 only stream the
+        # live rows — at restart R the live count cycles 1..R, so reading
+        # the full stack every iteration would move ~2x the bytes.
+        lim = jnp.clip(count, 1, S)
+        raw = jax.lax.switch(
+            lim - 1,
+            [
+                (lambda k: lambda aps_, az_: gk.beta_dots(aps_, az_, lim=k))(k)
+                for k in range(1, S + 1)
+            ],
+            aps,
+            az,
+        )
         betas = cplx.where(
             ap_norms > 0,
             _div_real(raw, ap_norms.astype(raw.dtype), rdtype),
@@ -283,8 +297,22 @@ def _gcr_solve_fused(a, rhs, params: GCRParams, precond, x0) -> SolveResult:
         wipe = jnp.where(do_restart, 0.0, 1.0).astype(rdtype)
         ap_norms = ap_norms * wipe
 
+        # unpreconditioned: z is r, so K3 dots <ap, r> against its z
+        # window instead of streaming the residual a second time
+        r_arg = r if precond is not None else None
         slot = (count % S).astype(jnp.int32)
-        ps, aps, apn, apr = gk.dir_update(z, az, r, ps, aps, betas, slot)
+        ps, aps, apn, apr = jax.lax.switch(
+            lim - 1,
+            [
+                (
+                    lambda k: lambda z_, az_, r_, ps_, aps_, b_, sl_: (
+                        gk.dir_update(z_, az_, r_, ps_, aps_, b_, sl_, lim=k)
+                    )
+                )(k)
+                for k in range(1, S + 1)
+            ],
+            z, az, r_arg, ps, aps, betas, slot,
+        )
         apn = apn.astype(rdtype)
         ap_norms = ap_norms.at[slot].set(apn)
 
