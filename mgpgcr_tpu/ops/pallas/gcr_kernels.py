@@ -222,8 +222,20 @@ def beta_dots(aps: cplx.CF, az: cplx.CF, lim: int | None = None) -> cplx.CF:
 # ---------------------------------------------------------------------------
 # K3: direction update written in place into the stack slot
 # ---------------------------------------------------------------------------
-def _k3_kernel(slot_ref, betas_ref, *refs, lim: int, with_r: bool):
+def _k3_kernel(slot_ref, betas_ref, *refs, lim: int, with_r: bool,
+               flush: bool):
     del slot_ref
+    refs = list(refs)
+    if flush:
+        # deferred-x restart flush rides this pass: the full stack is
+        # already streaming (lim == S on restart iterations), so x
+        # materialisation costs only the two extra x windows. Ref order is
+        # [inputs..., outputs...]: the 3 extra inputs (alphas, x) precede
+        # the 6 standard outputs; the 2 extra outputs are last.
+        ox_re, ox_im = refs[-2], refs[-1]
+        del refs[-2:]
+        alphas_ref, x_re, x_im = refs[-9], refs[-8], refs[-7]
+        del refs[-9:-6]
     if with_r:
         (z_re, z_im, az_re, az_im, r_re, r_im,
          ps_re, ps_im, aps_re, aps_im,
@@ -235,6 +247,16 @@ def _k3_kernel(slot_ref, betas_ref, *refs, lim: int, with_r: bool):
          ps_re, ps_im, aps_re, aps_im,
          ops_re, ops_im, oaps_re, oaps_im, apn_ref, apr_ref) = refs
         r_re, r_im = z_re, z_im
+    if flush:
+        acc_re = x_re[...]
+        acc_im = x_im[...]
+        for j in range(lim):
+            ar = alphas_ref[j, 0]
+            ai = alphas_ref[j, 1]
+            acc_re = acc_re + (ar * ps_re[j] - ai * ps_im[j])
+            acc_im = acc_im + (ar * ps_im[j] + ai * ps_re[j])
+        ox_re[...] = acc_re
+        ox_im[...] = acc_im
     p_re, p_im = z_re[...], z_im[...]
     a_re, a_im = az_re[...], az_im[...]
     for j in range(lim):
@@ -257,6 +279,8 @@ def _k3_kernel(slot_ref, betas_ref, *refs, lim: int, with_r: bool):
 def dir_update(
     z, az, r, ps: cplx.CF, aps: cplx.CF, betas: cplx.CF, slot,
     lim: int | None = None,
+    x: cplx.CF | None = None,
+    alphas: cplx.CF | None = None,
 ):
     """p = z - sum betas ps, ap = az - sum betas aps, stored into stack row
     `slot` in place (other rows pass through untouched via output
@@ -268,14 +292,23 @@ def dir_update(
     restart R on average).
 
     ``r=None`` marks the unpreconditioned iteration (z is r): the <ap, r>
-    dot then reuses the z window, saving one full-field HBM read."""
+    dot then reuses the z window, saving one full-field HBM read.
+
+    ``x``/``alphas`` (both or neither) enable the fused deferred-x flush:
+    x' = x + sum_j alphas_j ps_j computed in the same streaming pass
+    (the caller invokes this only on restart iterations, where lim == S
+    means the full stack is already in flight). Returns a 5th element x'
+    when enabled."""
     dt = az.dtype
     z2 = _as2d(az.re)
     m, n = z2.shape
     s = ps.shape[0]
     lim = s if lim is None else lim
     with_r = r is not None
-    rows = _chunk_rows(m, n, 2 * (4 * lim + 3 + (2 if with_r else 0)))
+    flush = x is not None
+    rows = _chunk_rows(
+        m, n, 2 * (4 * lim + 3 + (2 if with_r else 0) + (4 if flush else 0))
+    )
     grid = (m // rows,)
 
     field = _vspec((rows, n), lambda i, sl: (i, 0))
@@ -283,17 +316,23 @@ def dir_update(
     stack_out = _vspec((1, rows, n), lambda i, sl: (sl[0], i, 0))
 
     n_fields = 6 if with_r else 4
+    extra_in = (
+        [_smem((s, 2), lambda i, sl: (0, 0)), field, field] if flush else []
+    )
+    extra_out = (field, field) if flush else ()
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[_smem((s, 2), lambda i, sl: (0, 0))]
         + [field] * n_fields
-        + [stack_in, stack_in, stack_in, stack_in],
+        + [stack_in, stack_in, stack_in, stack_in]
+        + extra_in,
         out_specs=(
             stack_out, stack_out, stack_out, stack_out,
             _smem((1, 1), lambda i, sl: (0, 0)),
             _smem((1, 2), lambda i, sl: (0, 0)),
-        ),
+        )
+        + extra_out,
     )
     betas_arr = jnp.stack([betas.re, betas.im], axis=1).astype(dt)
     # aliases: operand k -> output k', counting pallas_call positional args
@@ -303,17 +342,29 @@ def dir_update(
     field_args = [_as2d(z.re), _as2d(z.im), _as2d(az.re), _as2d(az.im)]
     if with_r:
         field_args += [_as2d(r.re), _as2d(r.im)]
-    ops_re, ops_im, oaps_re, oaps_im, apn, apr = pl.pallas_call(
-        functools.partial(_k3_kernel, lim=lim, with_r=with_r),
+    extra_args = []
+    out_shape = (
+        jax.ShapeDtypeStruct((s, m, n), dt),
+        jax.ShapeDtypeStruct((s, m, n), dt),
+        jax.ShapeDtypeStruct((s, m, n), dt),
+        jax.ShapeDtypeStruct((s, m, n), dt),
+        jax.ShapeDtypeStruct((1, 1), dt),
+        jax.ShapeDtypeStruct((1, 2), dt),
+    )
+    if flush:
+        alphas_arr = jnp.stack([alphas.re, alphas.im], axis=1).astype(dt)
+        extra_args = [alphas_arr, _as2d(x.re), _as2d(x.im)]
+        # x operands (after the 4 stacks + alphas) alias the x' outputs
+        aliases[first_stack + 5] = 6
+        aliases[first_stack + 6] = 7
+        out_shape = out_shape + (
+            jax.ShapeDtypeStruct((m, n), dt),
+            jax.ShapeDtypeStruct((m, n), dt),
+        )
+    outs = pl.pallas_call(
+        functools.partial(_k3_kernel, lim=lim, with_r=with_r, flush=flush),
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((s, m, n), dt),
-            jax.ShapeDtypeStruct((s, m, n), dt),
-            jax.ShapeDtypeStruct((s, m, n), dt),
-            jax.ShapeDtypeStruct((s, m, n), dt),
-            jax.ShapeDtypeStruct((1, 1), dt),
-            jax.ShapeDtypeStruct((1, 2), dt),
-        ),
+        out_shape=out_shape,
         input_output_aliases=aliases,
         interpret=_interpret(),
         **_compiler_kwargs(),
@@ -323,11 +374,131 @@ def dir_update(
         *field_args,
         ps.re.reshape(s, m, n), ps.im.reshape(s, m, n),
         aps.re.reshape(s, m, n), aps.im.reshape(s, m, n),
+        *extra_args,
     )
+    ops_re, ops_im, oaps_re, oaps_im, apn, apr = outs[:6]
     shape = ps.shape
-    return (
+    res = (
         cplx.CF(ops_re.reshape(shape), ops_im.reshape(shape)),
         cplx.CF(oaps_re.reshape(shape), oaps_im.reshape(shape)),
         apn[0, 0],
         cplx.CF(apr[0, 0], apr[0, 1]),
     )
+    if flush:
+        ox_re, ox_im = outs[6], outs[7]
+        res = res + (
+            cplx.CF(ox_re.reshape(x.shape), ox_im.reshape(x.shape)),
+        )
+    return res
+
+
+# ---------------------------------------------------------------------------
+# K1r: r -= alpha ap, r2 = ||r||^2  (deferred-x variant of K1: x is not
+# touched — its alpha p contributions accumulate in an alphas buffer and
+# are flushed from the direction stack once per restart cycle by K4)
+# ---------------------------------------------------------------------------
+def _k1r_kernel(slot_ref, alpha_ref, r_re, r_im, aps_re, aps_im,
+                or_re, or_im, r2_ref):
+    del slot_ref
+    ar = alpha_ref[0, 0]
+    ai = alpha_ref[0, 1]
+    a_re, a_im = aps_re[0], aps_im[0]
+    nr_re = r_re[...] - (ar * a_re - ai * a_im)
+    nr_im = r_im[...] - (ar * a_im + ai * a_re)
+    or_re[...] = nr_re
+    or_im[...] = nr_im
+    _acc(r2_ref, (0, 0), jnp.sum(nr_re * nr_re + nr_im * nr_im))
+
+
+def update_r(r: cplx.CF, aps: cplx.CF, slot, alpha: cplx.CF):
+    """Returns (r', r2) with r' = r - alpha aps[slot]. Three field passes
+    (r in, aps row in, r out) vs K1's six: the x += alpha p half is
+    deferred to flush_x."""
+    shape, dt = r.shape, r.dtype
+    r2d = _as2d(r.re)
+    m, n = r2d.shape
+    s = aps.shape[0]
+    rows = _chunk_rows(m, n, 5)
+    grid = (m // rows,)
+
+    field = _vspec((rows, n), lambda i, sl: (i, 0))
+    stack = _vspec((1, rows, n), lambda i, sl: (sl[0], i, 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[_smem((1, 2), lambda i, sl: (0, 0)), field, field, stack, stack],
+        out_specs=(field, field, _smem((1, 1), lambda i, sl: (0, 0))),
+    )
+    alpha_arr = jnp.stack([alpha.re, alpha.im]).astype(dt).reshape(1, 2)
+    or_re, or_im, r2 = pl.pallas_call(
+        _k1r_kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((m, n), dt),
+            jax.ShapeDtypeStruct((m, n), dt),
+            jax.ShapeDtypeStruct((1, 1), dt),
+        ),
+        interpret=_interpret(),
+        **_compiler_kwargs(),
+    )(
+        jnp.asarray([slot], jnp.int32),
+        alpha_arr,
+        r2d, _as2d(r.im),
+        aps.re.reshape(s, m, n), aps.im.reshape(s, m, n),
+    )
+    return (
+        cplx.CF(or_re.reshape(shape), or_im.reshape(shape)),
+        r2[0, 0],
+    )
+
+
+# ---------------------------------------------------------------------------
+# K4: x += sum_s alphas_s ps_s  (restart-boundary flush of the deferred
+# x contributions; alphas rows for dead slots are zero)
+# ---------------------------------------------------------------------------
+def _k4_kernel(alphas_ref, x_re, x_im, ps_re, ps_im, ox_re, ox_im, *, s: int):
+    acc_re = x_re[...]
+    acc_im = x_im[...]
+    for j in range(s):
+        ar = alphas_ref[j, 0]
+        ai = alphas_ref[j, 1]
+        acc_re = acc_re + (ar * ps_re[j] - ai * ps_im[j])
+        acc_im = acc_im + (ar * ps_im[j] + ai * ps_re[j])
+    ox_re[...] = acc_re
+    ox_im[...] = acc_im
+
+
+def flush_x(x: cplx.CF, ps: cplx.CF, alphas: cplx.CF) -> cplx.CF:
+    """Materialise x' = x + sum_s alphas_s ps_s in one streaming pass over
+    the direction stack. Run once per restart cycle (and at loop exit /
+    before a residual refresh), so its S+2 field passes amortise to
+    ~(S+2)/R per iteration."""
+    dt = x.dtype
+    shape = x.shape
+    x2 = _as2d(x.re)
+    m, n = x2.shape
+    s = ps.shape[0]
+    rows = _chunk_rows(m, n, 2 * (s + 2))
+    grid = (m // rows,)
+
+    field = _vspec((rows, n), lambda i: (i, 0))
+    stack = _vspec((s, rows, n), lambda i: (0, i, 0))
+    alphas_arr = jnp.stack([alphas.re, alphas.im], axis=1).astype(dt)
+    ox_re, ox_im = pl.pallas_call(
+        functools.partial(_k4_kernel, s=s),
+        grid=grid,
+        in_specs=[_smem((s, 2), lambda i: (0, 0)), field, field, stack, stack],
+        out_specs=(field, field),
+        out_shape=(
+            jax.ShapeDtypeStruct((m, n), dt),
+            jax.ShapeDtypeStruct((m, n), dt),
+        ),
+        interpret=_interpret(),
+        **_compiler_kwargs(),
+    )(
+        alphas_arr,
+        x2, _as2d(x.im),
+        ps.re.reshape(s, m, n), ps.im.reshape(s, m, n),
+    )
+    return cplx.CF(ox_re.reshape(shape), ox_im.reshape(shape))

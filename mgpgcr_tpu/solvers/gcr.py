@@ -212,6 +212,14 @@ def _gcr_solve_fused(a, rhs, params: GCRParams, precond, x0) -> SolveResult:
     passes remain). Reference loop being fused: GCR.h:222-288."""
     from mgpgcr_tpu.ops.pallas import gcr_kernels as gk
 
+    # restart mode compiles to the cycle-unrolled body: static slots/prefix
+    # lengths (no lax.switch/cond around the big aliased stacks — XLA
+    # copies conditionally-touched buffers every iteration, measured +3
+    # to +6 ms/iter at 32^4) plus deferred-x accumulation. Truncation mode
+    # and residual_refresh keep the dynamic single-loop form below.
+    if params.restart and not params.residual_refresh and params.restart <= 16:
+        return _gcr_solve_fused_cycles(a, rhs, params, precond, x0)
+
     apply_a = a.apply if hasattr(a, "apply") else a
     rdtype = cplx.real_dtype(rhs)
     S = params.storage_size
@@ -335,6 +343,151 @@ def _gcr_solve_fused(a, rhs, params: GCRParams, precond, x0) -> SolveResult:
     (x, r, ps, aps, ap_norms, ap2, apr, slot, count, it, r2, hist) = (
         jax.lax.while_loop(cond, body, init)
     )
+
+    final_rel = jnp.sqrt(r2 / jnp.maximum(rhs_norm2_safe, _tiny(rdtype)))
+    converged = r2 <= tol2 * rhs_norm2
+    return SolveResult(
+        x=x,
+        converged=converged,
+        n_iters=it,
+        final_relres=final_rel,
+        res_history=hist,
+    )
+
+
+def _gcr_solve_fused_cycles(a, rhs, params: GCRParams, precond, x0) -> SolveResult:
+    """Restart-cycle-unrolled fused GCR: the while_loop body is one whole
+    restart cycle, with the R inner iterations unrolled in the trace.
+
+    Same trajectory as the single-iteration loop, but every slot index and
+    stored-direction prefix length is a Python constant, so (a) K2/K3 are
+    statically specialised per step with no lax.switch (a switch/cond that
+    touches the aliased direction stacks forces XLA to copy them every
+    iteration — measured +3 to +6 ms/iter at 32^4), and (b) the x += alpha p
+    half of the update is deferred: alphas accumulate in an (S,) buffer and
+    x is materialised from the stack once per cycle, fused into the last
+    step's K3 (which already streams the full stack). The per-iteration K1
+    then streams 3 fields instead of 6.
+
+    Convergence mid-cycle: alpha is masked to zero once ||r||^2 <= tol^2
+    ||rhs||^2 (or max_iter is reached), freezing x, r, it and hist exactly
+    where the single-loop form would have stopped; the rest of the cycle
+    runs as algebraic no-ops (at most R-1 wasted operator applies per
+    solve). Reference loop: GCR.h:222-288."""
+    from mgpgcr_tpu.ops.pallas import gcr_kernels as gk
+
+    apply_a = a.apply if hasattr(a, "apply") else a
+    rdtype = cplx.real_dtype(rhs)
+    S = params.storage_size
+    R = params.restart
+    max_iter = params.max_iter
+
+    x = cplx.zeros_like(rhs) if x0 is None else x0
+    r = rhs - apply_a(x) if x0 is not None else rhs
+
+    rhs_norm2 = cplx.abs2_sum(rhs).astype(rdtype)
+    rhs_norm2_safe = jnp.maximum(rhs_norm2, jnp.asarray(0, rdtype))
+
+    z = precond(r) if precond is not None else r
+    p = z
+    ap = apply_a(p)
+
+    ps = cplx.stack_zeros(S, p).at[0].set(p)
+    aps = cplx.stack_zeros(S, ap).at[0].set(ap)
+    ap2_0 = cplx.abs2_sum(ap).astype(rdtype)
+    ap_norms = jnp.zeros((S,), rdtype).at[0].set(ap2_0)
+    apr_0 = cplx.vdot(ap, r)
+
+    r2_0 = cplx.abs2_sum(r).astype(rdtype)
+    hist = jnp.full((max_iter + 1,), jnp.nan, rdtype)
+    hist = hist.at[0].set(jnp.sqrt(r2_0 / jnp.maximum(rhs_norm2_safe, _tiny(rdtype))))
+    tol2 = jnp.asarray(params.tol**2, rdtype)
+
+    def cond(carry):
+        (x, r, ps, aps, ap_norms, ap2, apr, it, r2, hist, alphas) = carry
+        return jnp.logical_and(r2 > tol2 * rhs_norm2, it < max_iter)
+
+    def body(carry):
+        (x, r, ps, aps, ap_norms, ap2, apr, it, r2, hist, alphas) = carry
+        for j in range(R):
+            # the single-loop form's `cond` between iterations: once
+            # converged (or out of iterations) mid-cycle, alpha masks to
+            # zero and x, r, it, hist freeze
+            active = jnp.logical_and(r2 > tol2 * rhs_norm2, it < max_iter)
+            alpha = cplx.scale_real(
+                _div_real(apr, ap2, rdtype), active.astype(rdtype)
+            )
+            it = it + active.astype(jnp.int32)
+
+            # iteration j of a cycle uses the direction in slot j; its
+            # x-contribution is deferred to the cycle-end flush
+            alphas = cplx.CF(
+                alphas.re.at[j].set(alpha.re),
+                alphas.im.at[j].set(alpha.im),
+            )
+            r, r2 = gk.update_r(r, aps, j, alpha)
+            r2 = r2.astype(rdtype)
+            hist = hist.at[it].set(
+                jnp.where(
+                    active,
+                    jnp.sqrt(r2 / jnp.maximum(rhs_norm2_safe, _tiny(rdtype))),
+                    hist[it],
+                )
+            )
+
+            z = precond(r) if precond is not None else r
+            az = apply_a(z)
+
+            # directions live in the static stack prefix [0:j+1]
+            raw = gk.beta_dots(aps, az, lim=j + 1)
+            betas = cplx.where(
+                ap_norms > 0,
+                _div_real(raw, ap_norms.astype(raw.dtype), rdtype),
+                cplx.zeros_like(raw),
+            )
+
+            # unpreconditioned: z is r, so K3 dots <ap, r> against its z
+            # window instead of streaming the residual a second time
+            r_arg = r if precond is not None else None
+            last = j == R - 1
+            slot = 0 if last else j + 1
+            if last:
+                # cycle-end restart: the new direction overwrites slot 0
+                # and the deferred x flush rides K3's full-stack pass
+                ps, aps, apn, apr, x = gk.dir_update(
+                    z, az, r_arg, ps, aps, betas, slot,
+                    lim=j + 1, x=x, alphas=alphas,
+                )
+                alphas = cplx.CF(
+                    jnp.zeros_like(alphas.re), jnp.zeros_like(alphas.im)
+                )
+            else:
+                ps, aps, apn, apr = gk.dir_update(
+                    z, az, r_arg, ps, aps, betas, slot, lim=j + 1
+                )
+            ap2 = apn.astype(rdtype)
+            ap_norms = ap_norms.at[slot].set(ap2)
+        return (x, r, ps, aps, ap_norms, ap2, apr, it, r2, hist, alphas)
+
+    init = (
+        x,
+        r,
+        ps,
+        aps,
+        ap_norms,
+        ap2_0,
+        apr_0,
+        jnp.zeros((), jnp.int32),
+        r2_0,
+        hist,
+        cplx.CF(jnp.zeros((S,), rdtype), jnp.zeros((S,), rdtype)),
+    )
+    (x, r, ps, aps, ap_norms, ap2, apr, it, r2, hist, alphas) = (
+        jax.lax.while_loop(cond, body, init)
+    )
+    # contributions recorded since the last cycle-end flush (exit at a
+    # cycle boundary leaves alphas zeroed; the extra pass is then a no-op)
+    x = gk.flush_x(x, ps, alphas)
 
     final_rel = jnp.sqrt(r2 / jnp.maximum(rhs_norm2_safe, _tiny(rdtype)))
     converged = r2 <= tol2 * rhs_norm2
