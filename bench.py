@@ -19,15 +19,21 @@ one application with everything stored f32 (links + field in, field out).
 bf16 link storage and two-row SU(3) compression are production
 optimizations *against that fixed baseline* (standard lattice-QCD gauge
 compression), so they legitimately raise vs_baseline; the f32 number is
-also recorded in BENCH_DETAIL.json. Context for the absolute numbers:
-``benchmarks/hbm_probe.py`` (DEVICE_BW.json) measures this tunneled chip's
-*practical* streaming envelope at ~300 GB/s read / ~285 GB/s write /
-~400 GB/s 1r:1w combined — roughly half of spec — and the fused kernel
-moves 370-450 GB/s of combined traffic, i.e. it runs *above* the
-measured plain-copy rate for its own traffic pattern. The gap to spec is
-a device property, not kernel headroom. Timings here are best-of-3
-measurement rounds: the tunnel exhibits minutes-scale throttling swings,
-and the minimum is the standard noise-robust estimator.
+also recorded in BENCH_DETAIL.json.
+
+Timing methodology: the reported number is the BARE kernel time from the
+chain-difference estimator in ``_time_apply`` (see its docstring), which
+removes the field-sized harness passes a naive timing loop adds around
+every application. It was validated against jax.profiler device traces:
+dslash_apply = 577.8 us/apply on-device vs 593 us estimated (within 3%)
+at 32^4 bf16 two-row links. NOTE on DEVICE_BW.json: the XLA-copy probe
+(~400 GB/s combined) UNDERestimates the chip — the same trace shows
+XLA's own elementwise fusions streaming at ~640 GB/s and the fused
+kernel at ~520 GB/s of combined traffic, so spec-ish bandwidth is real
+and the roofline denominator keeps the 819 GB/s spec. Timings are
+best-of-3 measurement rounds: the tunnel exhibits minutes-scale
+throttling swings, and the minimum is the standard noise-robust
+estimator.
 
 Links are random complex (not SU(3)-projected) — identical memory/compute
 shape, skips a minutes-long host-side QR that would dominate bench time.
@@ -70,15 +76,24 @@ def _chip_bandwidth() -> float:
     return _HBM_BW["cpu"]
 
 
-def _time_apply(op, psi, rounds: int = 3, inner: int = 100) -> float:
-    """Seconds per operator application: loop-in-jit (separate dispatches
-    through the tunnel measure round-trip latency, not the kernel),
-    true-fetch sync, best-of-``rounds`` against throttling noise."""
-    apply_n = jax.jit(
-        lambda op, x: jax.lax.fori_loop(
-            0, inner, lambda _, v: cplx.scale_real(op.apply(v), 0.05), x
-        )
-    )
+def _time_chain(op, psi, napply: int, rounds: int, inner: int) -> float:
+    """Seconds per fori_loop iteration whose body is ``napply`` chained
+    kernel applications plus one scale pass (loop-in-jit: separate
+    dispatches through the tunnel measure round-trip latency, not the
+    kernel). True-fetch sync; best-of-``rounds`` against throttling."""
+    scale = 0.05**napply
+
+    @jax.jit
+    def apply_n(op, x):
+        # op must be the traced argument: closing over the outer `op`
+        # bakes the link arrays into the HLO as constants, and the
+        # tunneled backend rejects the remote-compile request (HTTP 413)
+        def body(_, v):
+            for _ in range(napply):
+                v = op.apply(v)
+            return cplx.scale_real(v, scale)
+
+        return jax.lax.fori_loop(0, inner, body, x)
     out = apply_n(op, psi)
     float(jnp.sum(out.re))  # absorbs the backend's one-time first-sync stall
     best = float("inf")
@@ -88,6 +103,26 @@ def _time_apply(op, psi, rounds: int = 3, inner: int = 100) -> float:
         float(jnp.sum(out.re))  # device-to-host fetch = reliable full sync
         best = min(best, (time.perf_counter() - t0) / inner)
     return best
+
+
+def _time_apply(op, psi, rounds: int = 3) -> float:
+    """Seconds per bare kernel application, isolated from harness passes.
+
+    A timing loop must keep the chain live, and any way of doing that
+    costs HBM passes that are NOT the kernel: an elementwise scale between
+    applies is a full field read+write, and threading a pallas output
+    through a fori_loop carry makes XLA insert a field-sized copy at the
+    loop boundary (measured: a chain of bare applies runs ~450 us/apply
+    SLOWER than the same chain with an interposed scale pass). Timing
+    bodies with 2 and 4 chained applies shares one such overhead per body,
+    so the difference (t4 - t2)/2 is the kernel alone. (Longer chains
+    sharpen the estimate but trip the tunneled backend's remote-compile
+    request-size limit, HTTP 413.) Kernel-level counter-check:
+    jax.profiler device traces agree with this estimator within a few
+    percent (577.8 us traced vs 593 us estimated, 32^4 bf16 2-row)."""
+    t2 = _time_chain(op, psi, 2, rounds, inner=40)
+    t4 = _time_chain(op, psi, 4, rounds, inner=25)
+    return max((t4 - t2) / 2, 1e-9)
 
 
 def _time_gcr_iteration(a, rhs, fused: bool, rounds: int = 3) -> float:
@@ -137,13 +172,15 @@ def main() -> None:
     sol_apps = _chip_bandwidth() / bytes_per_app
     sol_nnz = eff_nnz * sol_apps
 
-    detail = {"lattice": list(dims), "device": jax.devices()[0].device_kind}
+    detail = {
+        "lattice": list(dims),
+        "device": jax.devices()[0].device_kind,
+        "estimator": "bare kernel via chain-difference (t4-t2)/2; "
+        "profiler-validated (see _time_apply)",
+    }
     variants = [("f32_links", op32), ("bf16_links", op16)]
-    if op32c is not None:
-        variants += [
-            ("f32_links_2row", op32c),
-            ("bf16_links_2row", op16c),
-        ]
+    if op16c is not None:
+        variants += [("bf16_links_2row", op16c)]
     times = {}
     for name, op in variants:
         dt = _time_apply(op, psi)
