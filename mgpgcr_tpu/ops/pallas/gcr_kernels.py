@@ -222,20 +222,8 @@ def beta_dots(aps: cplx.CF, az: cplx.CF, lim: int | None = None) -> cplx.CF:
 # ---------------------------------------------------------------------------
 # K3: direction update written in place into the stack slot
 # ---------------------------------------------------------------------------
-def _k3_kernel(slot_ref, betas_ref, *refs, lim: int, with_r: bool,
-               flush: bool):
+def _k3_kernel(slot_ref, betas_ref, *refs, lim: int, with_r: bool):
     del slot_ref
-    refs = list(refs)
-    if flush:
-        # deferred-x restart flush rides this pass: the full stack is
-        # already streaming (lim == S on restart iterations), so x
-        # materialisation costs only the two extra x windows. Ref order is
-        # [inputs..., outputs...]: the 3 extra inputs (alphas, x) precede
-        # the 6 standard outputs; the 2 extra outputs are last.
-        ox_re, ox_im = refs[-2], refs[-1]
-        del refs[-2:]
-        alphas_ref, x_re, x_im = refs[-9], refs[-8], refs[-7]
-        del refs[-9:-6]
     if with_r:
         (z_re, z_im, az_re, az_im, r_re, r_im,
          ps_re, ps_im, aps_re, aps_im,
@@ -247,16 +235,6 @@ def _k3_kernel(slot_ref, betas_ref, *refs, lim: int, with_r: bool,
          ps_re, ps_im, aps_re, aps_im,
          ops_re, ops_im, oaps_re, oaps_im, apn_ref, apr_ref) = refs
         r_re, r_im = z_re, z_im
-    if flush:
-        acc_re = x_re[...]
-        acc_im = x_im[...]
-        for j in range(lim):
-            ar = alphas_ref[j, 0]
-            ai = alphas_ref[j, 1]
-            acc_re = acc_re + (ar * ps_re[j] - ai * ps_im[j])
-            acc_im = acc_im + (ar * ps_im[j] + ai * ps_re[j])
-        ox_re[...] = acc_re
-        ox_im[...] = acc_im
     p_re, p_im = z_re[...], z_im[...]
     a_re, a_im = az_re[...], az_im[...]
     for j in range(lim):
@@ -279,8 +257,6 @@ def _k3_kernel(slot_ref, betas_ref, *refs, lim: int, with_r: bool,
 def dir_update(
     z, az, r, ps: cplx.CF, aps: cplx.CF, betas: cplx.CF, slot,
     lim: int | None = None,
-    x: cplx.CF | None = None,
-    alphas: cplx.CF | None = None,
 ):
     """p = z - sum betas ps, ap = az - sum betas aps, stored into stack row
     `slot` in place (other rows pass through untouched via output
@@ -292,23 +268,14 @@ def dir_update(
     restart R on average).
 
     ``r=None`` marks the unpreconditioned iteration (z is r): the <ap, r>
-    dot then reuses the z window, saving one full-field HBM read.
-
-    ``x``/``alphas`` (both or neither) enable the fused deferred-x flush:
-    x' = x + sum_j alphas_j ps_j computed in the same streaming pass
-    (the caller invokes this only on restart iterations, where lim == S
-    means the full stack is already in flight). Returns a 5th element x'
-    when enabled."""
+    dot then reuses the z window, saving one full-field HBM read."""
     dt = az.dtype
     z2 = _as2d(az.re)
     m, n = z2.shape
     s = ps.shape[0]
     lim = s if lim is None else lim
     with_r = r is not None
-    flush = x is not None
-    rows = _chunk_rows(
-        m, n, 2 * (4 * lim + 3 + (2 if with_r else 0) + (4 if flush else 0))
-    )
+    rows = _chunk_rows(m, n, 2 * (4 * lim + 3 + (2 if with_r else 0)))
     grid = (m // rows,)
 
     field = _vspec((rows, n), lambda i, sl: (i, 0))
@@ -316,23 +283,17 @@ def dir_update(
     stack_out = _vspec((1, rows, n), lambda i, sl: (sl[0], i, 0))
 
     n_fields = 6 if with_r else 4
-    extra_in = (
-        [_smem((s, 2), lambda i, sl: (0, 0)), field, field] if flush else []
-    )
-    extra_out = (field, field) if flush else ()
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
         in_specs=[_smem((s, 2), lambda i, sl: (0, 0))]
         + [field] * n_fields
-        + [stack_in, stack_in, stack_in, stack_in]
-        + extra_in,
+        + [stack_in, stack_in, stack_in, stack_in],
         out_specs=(
             stack_out, stack_out, stack_out, stack_out,
             _smem((1, 1), lambda i, sl: (0, 0)),
             _smem((1, 2), lambda i, sl: (0, 0)),
-        )
-        + extra_out,
+        ),
     )
     betas_arr = jnp.stack([betas.re, betas.im], axis=1).astype(dt)
     # aliases: operand k -> output k', counting pallas_call positional args
@@ -342,29 +303,17 @@ def dir_update(
     field_args = [_as2d(z.re), _as2d(z.im), _as2d(az.re), _as2d(az.im)]
     if with_r:
         field_args += [_as2d(r.re), _as2d(r.im)]
-    extra_args = []
-    out_shape = (
-        jax.ShapeDtypeStruct((s, m, n), dt),
-        jax.ShapeDtypeStruct((s, m, n), dt),
-        jax.ShapeDtypeStruct((s, m, n), dt),
-        jax.ShapeDtypeStruct((s, m, n), dt),
-        jax.ShapeDtypeStruct((1, 1), dt),
-        jax.ShapeDtypeStruct((1, 2), dt),
-    )
-    if flush:
-        alphas_arr = jnp.stack([alphas.re, alphas.im], axis=1).astype(dt)
-        extra_args = [alphas_arr, _as2d(x.re), _as2d(x.im)]
-        # x operands (after the 4 stacks + alphas) alias the x' outputs
-        aliases[first_stack + 5] = 6
-        aliases[first_stack + 6] = 7
-        out_shape = out_shape + (
-            jax.ShapeDtypeStruct((m, n), dt),
-            jax.ShapeDtypeStruct((m, n), dt),
-        )
-    outs = pl.pallas_call(
-        functools.partial(_k3_kernel, lim=lim, with_r=with_r, flush=flush),
+    ops_re, ops_im, oaps_re, oaps_im, apn, apr = pl.pallas_call(
+        functools.partial(_k3_kernel, lim=lim, with_r=with_r),
         grid_spec=grid_spec,
-        out_shape=out_shape,
+        out_shape=(
+            jax.ShapeDtypeStruct((s, m, n), dt),
+            jax.ShapeDtypeStruct((s, m, n), dt),
+            jax.ShapeDtypeStruct((s, m, n), dt),
+            jax.ShapeDtypeStruct((s, m, n), dt),
+            jax.ShapeDtypeStruct((1, 1), dt),
+            jax.ShapeDtypeStruct((1, 2), dt),
+        ),
         input_output_aliases=aliases,
         interpret=_interpret(),
         **_compiler_kwargs(),
@@ -374,22 +323,176 @@ def dir_update(
         *field_args,
         ps.re.reshape(s, m, n), ps.im.reshape(s, m, n),
         aps.re.reshape(s, m, n), aps.im.reshape(s, m, n),
-        *extra_args,
     )
-    ops_re, ops_im, oaps_re, oaps_im, apn, apr = outs[:6]
     shape = ps.shape
-    res = (
+    return (
         cplx.CF(ops_re.reshape(shape), ops_im.reshape(shape)),
         cplx.CF(oaps_re.reshape(shape), oaps_im.reshape(shape)),
         apn[0, 0],
         cplx.CF(apr[0, 0], apr[0, 1]),
     )
-    if flush:
-        ox_re, ox_im = outs[6], outs[7]
-        res = res + (
-            cplx.CF(ox_re.reshape(x.shape), ox_im.reshape(x.shape)),
-        )
-    return res
+
+
+# ---------------------------------------------------------------------------
+# K3z: ap-only direction update (z-basis GCR): the search directions p are
+# never materialised — only A p lives in the stack; p's expansion over the
+# cycle's z vectors is tracked as scalar coefficients by the solver and
+# resolved once per cycle by basis_flush.
+# ---------------------------------------------------------------------------
+def _k3z_kernel(slot_ref, betas_ref, az_re, az_im, r_re, r_im,
+                aps_re, aps_im, oaps_re, oaps_im, apn_ref, apr_ref,
+                *, lim: int):
+    del slot_ref
+    a_re, a_im = az_re[...], az_im[...]
+    for j in range(lim):
+        br = betas_ref[j, 0]
+        bi = betas_ref[j, 1]
+        a_re = a_re - (br * aps_re[j] - bi * aps_im[j])
+        a_im = a_im - (br * aps_im[j] + bi * aps_re[j])
+    oaps_re[0] = a_re
+    oaps_im[0] = a_im
+    _acc(apn_ref, (0, 0), jnp.sum(a_re * a_re + a_im * a_im))
+    rr, ri = r_re[...], r_im[...]
+    _acc(apr_ref, (0, 0), jnp.sum(a_re * rr + a_im * ri))
+    _acc(apr_ref, (0, 1), jnp.sum(a_re * ri - a_im * rr))
+
+
+def ap_update(az, r, aps: cplx.CF, betas: cplx.CF, slot, lim: int):
+    """ap = az - sum_{j<lim} betas_j aps_j written in place into stack row
+    ``slot`` (other rows pass through via output aliasing). Also returns
+    this direction's ||ap||^2 and <ap, r> (next iteration's alpha).
+    The direction p itself is never formed (z-basis GCR)."""
+    dt = az.dtype
+    z2 = _as2d(az.re)
+    m, n = z2.shape
+    s = aps.shape[0]
+    rows = _chunk_rows(m, n, 2 * (2 * lim + 5))
+    grid = (m // rows,)
+
+    field = _vspec((rows, n), lambda i, sl: (i, 0))
+    stack_in = _vspec((max(lim, 1), rows, n), lambda i, sl: (0, i, 0))
+    stack_out = _vspec((1, rows, n), lambda i, sl: (sl[0], i, 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            _smem((s, 2), lambda i, sl: (0, 0)),
+            field, field, field, field,
+            stack_in, stack_in,
+        ],
+        out_specs=(
+            stack_out, stack_out,
+            _smem((1, 1), lambda i, sl: (0, 0)),
+            _smem((1, 2), lambda i, sl: (0, 0)),
+        ),
+    )
+    betas_arr = jnp.stack([betas.re, betas.im], axis=1).astype(dt)
+    # stacks (operands 6, 7 counting the scalar-prefetch arg) update in place
+    oaps_re, oaps_im, apn, apr = pl.pallas_call(
+        functools.partial(_k3z_kernel, lim=lim),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((s, m, n), dt),
+            jax.ShapeDtypeStruct((s, m, n), dt),
+            jax.ShapeDtypeStruct((1, 1), dt),
+            jax.ShapeDtypeStruct((1, 2), dt),
+        ),
+        input_output_aliases={6: 0, 7: 1},
+        interpret=_interpret(),
+        **_compiler_kwargs(),
+    )(
+        jnp.asarray([slot], jnp.int32),
+        betas_arr,
+        _as2d(az.re), _as2d(az.im),
+        _as2d(r.re), _as2d(r.im),
+        aps.re.reshape(s, m, n), aps.im.reshape(s, m, n),
+    )
+    shape = aps.shape
+    return (
+        cplx.CF(oaps_re.reshape(shape), oaps_im.reshape(shape)),
+        apn[0, 0],
+        cplx.CF(apr[0, 0], apr[0, 1]),
+    )
+
+
+# ---------------------------------------------------------------------------
+# K4z: cycle-end basis resolution (z-basis GCR): one streaming pass over
+# the cycle's basis vectors [p0, z_1..z_R] producing BOTH the solution
+# update x' = x + sum_m wx_m b_m and the next cycle's seed direction
+# p0' = sum_m wp_m b_m.
+# ---------------------------------------------------------------------------
+def _k4z_kernel(w_ref, *refs, nb: int):
+    # refs: x, basis b_0..b_{nb-1} (re/im pairs), then outputs ox, op0
+    x_re, x_im = refs[0], refs[1]
+    ox_re, ox_im = refs[-4], refs[-3]
+    op_re, op_im = refs[-2], refs[-1]
+    acc_re = x_re[...]
+    acc_im = x_im[...]
+    p_re = jnp.zeros_like(acc_re)
+    p_im = jnp.zeros_like(acc_im)
+    for mref in range(nb):
+        b_re = refs[2 + 2 * mref][...]
+        b_im = refs[3 + 2 * mref][...]
+        xr = w_ref[mref, 0]
+        xi = w_ref[mref, 1]
+        pr = w_ref[mref, 2]
+        pi = w_ref[mref, 3]
+        acc_re = acc_re + (xr * b_re - xi * b_im)
+        acc_im = acc_im + (xr * b_im + xi * b_re)
+        p_re = p_re + (pr * b_re - pi * b_im)
+        p_im = p_im + (pr * b_im + pi * b_re)
+    ox_re[...] = acc_re
+    ox_im[...] = acc_im
+    op_re[...] = p_re
+    op_im[...] = p_im
+
+
+def basis_flush(x: cplx.CF, basis, wx, wp):
+    """(x', p0') from one pass over the basis vectors.
+
+    basis: list of CF fields [b_0..b_{nb-1}]; wx/wp: lists of CF scalars.
+    x' = x + sum wx_m b_m;  p0' = sum wp_m b_m."""
+    dt = x.dtype
+    shape = x.shape
+    x2 = _as2d(x.re)
+    m, n = x2.shape
+    nb = len(basis)
+    rows = _chunk_rows(m, n, 2 * (2 * nb + 4))
+    grid = (m // rows,)
+    field = _vspec((rows, n), lambda i: (i, 0))
+
+    w_arr = jnp.stack(
+        [
+            jnp.stack([w.re for w in wx]),
+            jnp.stack([w.im for w in wx]),
+            jnp.stack([w.re for w in wp]),
+            jnp.stack([w.im for w in wp]),
+        ],
+        axis=1,
+    ).astype(dt)
+    args = [w_arr, x2, _as2d(x.im)]
+    for b in basis:
+        args += [_as2d(b.re), _as2d(b.im)]
+    ox_re, ox_im, op_re, op_im = pl.pallas_call(
+        functools.partial(_k4z_kernel, nb=nb),
+        grid=grid,
+        in_specs=[_smem((nb, 4), lambda i: (0, 0))]
+        + [field] * (2 + 2 * nb),
+        out_specs=(field, field, field, field),
+        out_shape=(
+            jax.ShapeDtypeStruct((m, n), dt),
+            jax.ShapeDtypeStruct((m, n), dt),
+            jax.ShapeDtypeStruct((m, n), dt),
+            jax.ShapeDtypeStruct((m, n), dt),
+        ),
+        interpret=_interpret(),
+        **_compiler_kwargs(),
+    )(*args)
+    return (
+        cplx.CF(ox_re.reshape(shape), ox_im.reshape(shape)),
+        cplx.CF(op_re.reshape(shape), op_im.reshape(shape)),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -413,7 +516,7 @@ def _k1r_kernel(slot_ref, alpha_ref, r_re, r_im, aps_re, aps_im,
 def update_r(r: cplx.CF, aps: cplx.CF, slot, alpha: cplx.CF):
     """Returns (r', r2) with r' = r - alpha aps[slot]. Three field passes
     (r in, aps row in, r out) vs K1's six: the x += alpha p half is
-    deferred to flush_x."""
+    deferred to the cycle-end basis_flush."""
     shape, dt = r.shape, r.dtype
     r2d = _as2d(r.re)
     m, n = r2d.shape
@@ -451,54 +554,3 @@ def update_r(r: cplx.CF, aps: cplx.CF, slot, alpha: cplx.CF):
         cplx.CF(or_re.reshape(shape), or_im.reshape(shape)),
         r2[0, 0],
     )
-
-
-# ---------------------------------------------------------------------------
-# K4: x += sum_s alphas_s ps_s  (restart-boundary flush of the deferred
-# x contributions; alphas rows for dead slots are zero)
-# ---------------------------------------------------------------------------
-def _k4_kernel(alphas_ref, x_re, x_im, ps_re, ps_im, ox_re, ox_im, *, s: int):
-    acc_re = x_re[...]
-    acc_im = x_im[...]
-    for j in range(s):
-        ar = alphas_ref[j, 0]
-        ai = alphas_ref[j, 1]
-        acc_re = acc_re + (ar * ps_re[j] - ai * ps_im[j])
-        acc_im = acc_im + (ar * ps_im[j] + ai * ps_re[j])
-    ox_re[...] = acc_re
-    ox_im[...] = acc_im
-
-
-def flush_x(x: cplx.CF, ps: cplx.CF, alphas: cplx.CF) -> cplx.CF:
-    """Materialise x' = x + sum_s alphas_s ps_s in one streaming pass over
-    the direction stack. Run once per restart cycle (and at loop exit /
-    before a residual refresh), so its S+2 field passes amortise to
-    ~(S+2)/R per iteration."""
-    dt = x.dtype
-    shape = x.shape
-    x2 = _as2d(x.re)
-    m, n = x2.shape
-    s = ps.shape[0]
-    rows = _chunk_rows(m, n, 2 * (s + 2))
-    grid = (m // rows,)
-
-    field = _vspec((rows, n), lambda i: (i, 0))
-    stack = _vspec((s, rows, n), lambda i: (0, i, 0))
-    alphas_arr = jnp.stack([alphas.re, alphas.im], axis=1).astype(dt)
-    ox_re, ox_im = pl.pallas_call(
-        functools.partial(_k4_kernel, s=s),
-        grid=grid,
-        in_specs=[_smem((s, 2), lambda i: (0, 0)), field, field, stack, stack],
-        out_specs=(field, field),
-        out_shape=(
-            jax.ShapeDtypeStruct((m, n), dt),
-            jax.ShapeDtypeStruct((m, n), dt),
-        ),
-        interpret=_interpret(),
-        **_compiler_kwargs(),
-    )(
-        alphas_arr,
-        x2, _as2d(x.im),
-        ps.re.reshape(s, m, n), ps.im.reshape(s, m, n),
-    )
-    return cplx.CF(ox_re.reshape(shape), ox_im.reshape(shape))

@@ -356,18 +356,24 @@ def _gcr_solve_fused(a, rhs, params: GCRParams, precond, x0) -> SolveResult:
 
 
 def _gcr_solve_fused_cycles(a, rhs, params: GCRParams, precond, x0) -> SolveResult:
-    """Restart-cycle-unrolled fused GCR: the while_loop body is one whole
-    restart cycle, with the R inner iterations unrolled in the trace.
+    """Restart-cycle-unrolled fused GCR in the z-basis representation.
 
-    Same trajectory as the single-iteration loop, but every slot index and
-    stored-direction prefix length is a Python constant, so (a) K2/K3 are
+    The while_loop body is one whole restart cycle with the R inner
+    iterations unrolled in the trace, so every slot index and
+    stored-direction prefix length is a Python constant — K2/K3 are
     statically specialised per step with no lax.switch (a switch/cond that
     touches the aliased direction stacks forces XLA to copy them every
-    iteration — measured +3 to +6 ms/iter at 32^4), and (b) the x += alpha p
-    half of the update is deferred: alphas accumulate in an (S,) buffer and
-    x is materialised from the stack once per cycle, fused into the last
-    step's K3 (which already streams the full stack). The per-iteration K1
-    then streams 3 fields instead of 6.
+    iteration — measured +3 to +6 ms/iter at 32^4).
+
+    z-basis representation: the search directions p_j are NEVER
+    materialised. Only A p_j lives in a stack (needed for the beta dots
+    and the r update); each p_j's expansion over the cycle's basis
+    vectors [p0, z_1, .., z_R] is tracked as a triangular table of scalar
+    coefficients (p_{j} = z_j - sum beta p_i recursively). One fused
+    cycle-end pass (basis_flush) streams the basis once and produces both
+    the solution update x += sum alpha_j p_j and the next cycle's seed
+    direction p0'. Per-iteration streamed fields drop from ~17 to ~13 at
+    restart 5 and the p-stack's memory disappears.
 
     Convergence mid-cycle: alpha is masked to zero once ||r||^2 <= tol^2
     ||rhs||^2 (or max_iter is reached), freezing x, r, it and hist exactly
@@ -389,10 +395,9 @@ def _gcr_solve_fused_cycles(a, rhs, params: GCRParams, precond, x0) -> SolveResu
     rhs_norm2_safe = jnp.maximum(rhs_norm2, jnp.asarray(0, rdtype))
 
     z = precond(r) if precond is not None else r
-    p = z
-    ap = apply_a(p)
+    p0 = z
+    ap = apply_a(p0)
 
-    ps = cplx.stack_zeros(S, p).at[0].set(p)
     aps = cplx.stack_zeros(S, ap).at[0].set(ap)
     ap2_0 = cplx.abs2_sum(ap).astype(rdtype)
     ap_norms = jnp.zeros((S,), rdtype).at[0].set(ap2_0)
@@ -403,12 +408,18 @@ def _gcr_solve_fused_cycles(a, rhs, params: GCRParams, precond, x0) -> SolveResu
     hist = hist.at[0].set(jnp.sqrt(r2_0 / jnp.maximum(rhs_norm2_safe, _tiny(rdtype))))
     tol2 = jnp.asarray(params.tol**2, rdtype)
 
+    czero = cplx.from_scalar(0.0, rdtype)
+    cone = cplx.from_scalar(1.0, rdtype)
+
     def cond(carry):
-        (x, r, ps, aps, ap_norms, ap2, apr, it, r2, hist, alphas) = carry
+        (x, r, p0, aps, ap_norms, ap2, apr, it, r2, hist) = carry
         return jnp.logical_and(r2 > tol2 * rhs_norm2, it < max_iter)
 
     def body(carry):
-        (x, r, ps, aps, ap_norms, ap2, apr, it, r2, hist, alphas) = carry
+        (x, r, p0, aps, ap_norms, ap2, apr, it, r2, hist) = carry
+        basis = [p0]  # b_0 = seed direction; b_{j} = z_j afterwards
+        coef = [[cone]]  # coef[j][m]: direction j over basis[0..j]
+        alphas = []
         for j in range(R):
             # the single-loop form's `cond` between iterations: once
             # converged (or out of iterations) mid-cycle, alpha masks to
@@ -418,13 +429,8 @@ def _gcr_solve_fused_cycles(a, rhs, params: GCRParams, precond, x0) -> SolveResu
                 _div_real(apr, ap2, rdtype), active.astype(rdtype)
             )
             it = it + active.astype(jnp.int32)
+            alphas.append(alpha)
 
-            # iteration j of a cycle uses the direction in slot j; its
-            # x-contribution is deferred to the cycle-end flush
-            alphas = cplx.CF(
-                alphas.re.at[j].set(alpha.re),
-                alphas.im.at[j].set(alpha.im),
-            )
             r, r2 = gk.update_r(r, aps, j, alpha)
             r2 = r2.astype(rdtype)
             hist = hist.at[it].set(
@@ -438,7 +444,7 @@ def _gcr_solve_fused_cycles(a, rhs, params: GCRParams, precond, x0) -> SolveResu
             z = precond(r) if precond is not None else r
             az = apply_a(z)
 
-            # directions live in the static stack prefix [0:j+1]
+            # stored A-directions live in the static stack prefix [0:j+1]
             raw = gk.beta_dots(aps, az, lim=j + 1)
             betas = cplx.where(
                 ap_norms > 0,
@@ -446,33 +452,41 @@ def _gcr_solve_fused_cycles(a, rhs, params: GCRParams, precond, x0) -> SolveResu
                 cplx.zeros_like(raw),
             )
 
-            # unpreconditioned: z is r, so K3 dots <ap, r> against its z
-            # window instead of streaming the residual a second time
-            r_arg = r if precond is not None else None
-            last = j == R - 1
-            slot = 0 if last else j + 1
-            if last:
-                # cycle-end restart: the new direction overwrites slot 0
-                # and the deferred x flush rides K3's full-stack pass
-                ps, aps, apn, apr, x = gk.dir_update(
-                    z, az, r_arg, ps, aps, betas, slot,
-                    lim=j + 1, x=x, alphas=alphas,
+            # scalar coefficient recursion: p_new = z - sum_i beta_i p_i
+            basis.append(z)
+            bs = [cplx.CF(betas.re[i], betas.im[i]) for i in range(j + 1)]
+            row = [
+                sum(
+                    (-(bs[i] * coef[i][m]) for i in range(m, j + 1)),
+                    start=czero,
                 )
-                alphas = cplx.CF(
-                    jnp.zeros_like(alphas.re), jnp.zeros_like(alphas.im)
-                )
-            else:
-                ps, aps, apn, apr = gk.dir_update(
-                    z, az, r_arg, ps, aps, betas, slot, lim=j + 1
-                )
+                for m in range(j + 1)
+            ] + [cone]
+            coef.append(row)
+
+            slot = 0 if j == R - 1 else j + 1
+            aps, apn, apr = gk.ap_update(az, r, aps, betas, slot, lim=j + 1)
             ap2 = apn.astype(rdtype)
             ap_norms = ap_norms.at[slot].set(ap2)
-        return (x, r, ps, aps, ap_norms, ap2, apr, it, r2, hist, alphas)
+
+        # cycle end: resolve the triangular table in one basis pass —
+        # x += sum_j alpha_j p_j and p0' = p_new (coef[R])
+        nb = R + 1
+        wx = [
+            sum(
+                (alphas[j] * coef[j][m] for j in range(m, R) if m <= j),
+                start=czero,
+            )
+            for m in range(nb)
+        ]
+        wp = coef[R]
+        x, p0 = gk.basis_flush(x, basis, wx, wp)
+        return (x, r, p0, aps, ap_norms, ap2, apr, it, r2, hist)
 
     init = (
         x,
         r,
-        ps,
+        p0,
         aps,
         ap_norms,
         ap2_0,
@@ -480,14 +494,10 @@ def _gcr_solve_fused_cycles(a, rhs, params: GCRParams, precond, x0) -> SolveResu
         jnp.zeros((), jnp.int32),
         r2_0,
         hist,
-        cplx.CF(jnp.zeros((S,), rdtype), jnp.zeros((S,), rdtype)),
     )
-    (x, r, ps, aps, ap_norms, ap2, apr, it, r2, hist, alphas) = (
+    (x, r, p0, aps, ap_norms, ap2, apr, it, r2, hist) = (
         jax.lax.while_loop(cond, body, init)
     )
-    # contributions recorded since the last cycle-end flush (exit at a
-    # cycle boundary leaves alphas zeroed; the extra pass is then a no-op)
-    x = gk.flush_x(x, ps, alphas)
 
     final_rel = jnp.sqrt(r2 / jnp.maximum(rhs_norm2_safe, _tiny(rdtype)))
     converged = r2 <= tol2 * rhs_norm2
