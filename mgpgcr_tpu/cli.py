@@ -216,11 +216,17 @@ def cmd_generate(args) -> int:
     parsed.txt cache format or ELL .npz."""
     jax = _setup_jax("complex128", args.platform or "cpu")
     from mgpgcr_tpu.mesh import LatticeMesh
-    from mgpgcr_tpu.ops.wilson import materialize_csr, random_links_np
+    from mgpgcr_tpu.ops.wilson import (
+        antiperiodic_t,
+        materialize_csr,
+        random_links_np,
+    )
 
     dims = tuple(args.lattice)
     mesh = LatticeMesh((*dims, 4, 3))
     links = random_links_np(args.seed or 0, mesh)
+    if args.antiperiodic:
+        links = antiperiodic_t(links)
     m = materialize_csr(links, mesh)
     if args.out.endswith(".npz"):
         from mgpgcr_tpu.io.npz_cache import save_ell_npz
@@ -236,6 +242,7 @@ def cmd_generate(args) -> int:
                 "lattice": list(dims),
                 "rows": m.shape[0],
                 "nnz": int(m.nnz),
+                "antiperiodic": bool(args.antiperiodic),
                 "out": args.out,
             }
         )
@@ -439,6 +446,11 @@ def main(argv=None) -> int:
     p.add_argument("out")
     p.add_argument("--lattice", type=int, nargs=4, default=[8, 8, 8, 8])
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--antiperiodic",
+        action="store_true",
+        help="anti-periodic temporal boundary (QCD fermion convention)",
+    )
     p.add_argument("--platform")
     p.set_defaults(fn=cmd_generate)
 

@@ -120,6 +120,31 @@ def random_links_np(seed: int, mesh: LatticeMesh) -> np.ndarray:
     return q / det[..., None, None] ** (1.0 / 3.0)
 
 
+def antiperiodic_t(links):
+    """Anti-periodic temporal boundary condition as a pure link map.
+
+    Negates U_t on the t = T-1 slice (the QCD fermion convention): the
+    forward hop crossing the boundary picks up -U_t(T-1) and the backward
+    hop at t=0 uses the dagger of the same link, so every stencil
+    implementation (canonical, TPU slab, Pallas streaming, even-odd,
+    distributed) inherits the boundary phase with no kernel changes.
+
+    Accepts canonical links — (4, T, Z, Y, X, 3, 3) as a complex
+    numpy/jnp array or a split re/im ``cplx.CF`` pair — i.e. apply this
+    BEFORE ``links_to_tpu``. Note the flipped boundary links are in U(3)
+    but not SU(3) (det = -1), so two-row gauge compression
+    (``compress_links_tmajor``) no longer reconstructs them exactly; keep
+    full 3-row storage for anti-periodic operators.
+    """
+    if cplx.is_cf(links):
+        return cplx.CF(antiperiodic_t(links.re), antiperiodic_t(links.im))
+    if isinstance(links, np.ndarray):
+        out = links.copy()
+        out[0, -1] = -out[0, -1]
+        return out
+    return links.at[0, -1].multiply(-1)
+
+
 def random_links_cf(key, mesh: LatticeMesh, dtype=jnp.float32) -> cplx.CF:
     """Haar-random SU(3) links as split re/im (the TPU representation).
 

@@ -1,0 +1,98 @@
+"""Anti-periodic temporal boundary conditions (QCD fermion convention).
+
+Beyond-reference capability (the reference's fixtures are periodic;
+Parse.cpp ingests whatever the .mtx encodes): implemented as a pure link
+map — U_t negated on the t = T-1 slice (ops/wilson.py antiperiodic_t) —
+so every stencil path inherits the boundary phase with no kernel changes.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mgpgcr_tpu import cplx, fields
+from mgpgcr_tpu.mesh import LatticeMesh
+from mgpgcr_tpu.ops.pallas.dslash import PallasWilsonDirac
+from mgpgcr_tpu.ops.wilson import (
+    WilsonDiracOperator,
+    antiperiodic_t,
+    materialize_csr,
+    random_links,
+    random_links_np,
+)
+from mgpgcr_tpu.ops.wilson_tpu import TpuWilsonDirac, field_to_tpu, links_to_tpu
+
+DIMS = (4, 4, 2, 8, 4, 3)
+
+
+def test_flip_is_boundary_only():
+    mesh = LatticeMesh(DIMS)
+    links = random_links_np(0, mesh)
+    anti = antiperiodic_t(links)
+    np.testing.assert_array_equal(anti[0, -1], -links[0, -1])
+    np.testing.assert_array_equal(anti[0, :-1], links[0, :-1])
+    np.testing.assert_array_equal(anti[1:], links[1:])
+    # input untouched (numpy path copies)
+    assert not np.shares_memory(anti, links)
+
+
+def _scipy(m):
+    import scipy.sparse as sp
+
+    return sp.csr_matrix((m.data, m.indices, m.indptr), shape=m.shape)
+
+
+def test_csr_differs_only_on_boundary_hops():
+    """CSR entries change exactly on the +-t hops that cross t = T-1|0."""
+    mesh = LatticeMesh(DIMS)
+    links = random_links_np(0, mesh)
+    per = _scipy(materialize_csr(links, mesh))
+    ant = _scipy(materialize_csr(antiperiodic_t(links), mesh))
+    d = (ant - per).tocoo()
+    changed = list(zip(d.row.tolist(), d.col.tolist()))
+    assert changed, "anti-periodic flip changed nothing"
+    t = DIMS[0]
+    per_site = 12
+    vol_zyx = mesh.n_sites // t
+    for rr, cc in changed[:200]:
+        ts_row = (rr // per_site) // vol_zyx
+        ts_col = (cc // per_site) // vol_zyx
+        assert {ts_row, ts_col} == {0, t - 1}, (ts_row, ts_col)
+
+
+def test_gamma5_hermiticity_preserved():
+    """gamma5 D gamma5 = D^dagger holds for the flipped links too."""
+    mesh = LatticeMesh(DIMS)
+    links = antiperiodic_t(random_links_np(0, mesh))
+    m = _scipy(materialize_csr(links, mesh))
+    n = m.shape[0]
+    # gamma5 in this basis permutes spin 0<->2, 1<->3 (Fields.h:311-338)
+    idx = np.arange(n).reshape(-1, 4, 3)
+    perm = idx[:, [2, 3, 0, 1], :].ravel()
+    g5m = m[perm][:, perm]
+    err = abs((g5m - m.conj().T)).max()
+    assert err < 1e-12
+
+
+def test_tpu_and_pallas_paths_inherit_bc():
+    """The same link map gives matching operators on every path."""
+    mesh = LatticeMesh(DIMS)
+    links = antiperiodic_t(random_links(jax.random.PRNGKey(0), mesh))
+    psi = fields.random_field(jax.random.PRNGKey(1), mesh)
+
+    ref = WilsonDiracOperator(links, mesh).apply(psi)
+
+    links_t = links_to_tpu(cplx.ascf(links, jnp.float64), mesh)
+    psi_t = field_to_tpu(cplx.ascf(psi, jnp.float64), mesh)
+    got_slab = TpuWilsonDirac(links_t, mesh).apply(psi_t)
+    got_pallas = PallasWilsonDirac.build(
+        cplx.ascf(links, jnp.float64), mesh, interpret=True
+    ).apply(psi_t)
+
+    ref_t = field_to_tpu(cplx.ascf(ref, jnp.float64), mesh)
+    np.testing.assert_allclose(
+        cplx.to_numpy(got_slab), cplx.to_numpy(ref_t), atol=1e-12
+    )
+    np.testing.assert_allclose(
+        cplx.to_numpy(got_pallas), cplx.to_numpy(ref_t), atol=1e-12
+    )
