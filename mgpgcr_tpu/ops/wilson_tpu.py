@@ -212,7 +212,7 @@ def _xmasks(y: int, xx: int):
     return jnp.asarray(xcoord == xx - 1), jnp.asarray(xcoord == 0)
 
 
-@operator_dataclass(meta=("mesh", "device_mesh", "axis_t", "axis_z"))
+@operator_dataclass(meta=("mesh", "device_mesh", "axis_t", "axis_z", "axis_y"))
 class TpuWilsonDirac(LinearOperator):
     """Matrix-free hopping operator D in TPU layout (4, 3, T, Z, Y*X).
 
@@ -221,13 +221,17 @@ class TpuWilsonDirac(LinearOperator):
     layout and contraction scheduling differ. Pair with ``DiracOperator``
     for A = I - kD.
 
-    Domain decomposition: with ``device_mesh`` set, the T and/or Z axes are
-    sharded over the named device-mesh axes (``axis_t``/``axis_z``) and the
-    stencil runs inside ``shard_map`` — t/z neighbour access becomes a
-    one-plane ``ppermute`` halo exchange (parallel/halo.py) while y/x stay
-    device-local on the merged Y*X axis. This layout is what makes the
-    decomposition cheap: the sharded axes are *outer* array dims, so halo
-    slices are contiguous and no relayout occurs.
+    Domain decomposition: with ``device_mesh`` set, the T, Z and/or Y axes
+    are sharded over the named device-mesh axes (``axis_t``/``axis_z``/
+    ``axis_y``) and the stencil runs inside ``shard_map`` — t/z neighbour
+    access becomes a one-plane ``ppermute`` halo exchange
+    (parallel/halo.py). Y lives on the *merged* Y*X minor axis: sharding it
+    over ``axis_y`` keeps whole x-rows per device, so the y halo is one
+    contiguous x-row exchanged the same way (width = X) and the in-shard x
+    shifts are untouched. x itself stays device-local (its halo would be
+    strided lane-by-lane — never worth it). The sharded t/z axes are
+    *outer* array dims, so their halo slices are contiguous and no
+    relayout occurs; 3-axis decomposition covers T x Z x Y devices.
     """
 
     links: cplx.CF  # (4, 3, 3, T, Z, Y*X)
@@ -235,6 +239,7 @@ class TpuWilsonDirac(LinearOperator):
     device_mesh: object = None  # jax.sharding.Mesh or None (single device)
     axis_t: str | None = None
     axis_z: str | None = None
+    axis_y: str | None = None
 
     @staticmethod
     def build(links_canonical, mesh: LatticeMesh) -> "TpuWilsonDirac":
@@ -247,27 +252,28 @@ class TpuWilsonDirac(LinearOperator):
         device_mesh,
         axis_t: str | None = "t",
         axis_z: str | None = "z",
+        axis_y: str | None = None,
     ) -> "TpuWilsonDirac":
         """Shard links over the device mesh and return a distributed op."""
         import jax
         from jax.sharding import NamedSharding
 
         links = links_to_tpu(links_canonical, mesh)
-        op = TpuWilsonDirac(links, mesh, device_mesh, axis_t, axis_z)
+        op = TpuWilsonDirac(links, mesh, device_mesh, axis_t, axis_z, axis_y)
         links = jax.device_put(
             links, NamedSharding(device_mesh, op._links_spec())
         )
-        return TpuWilsonDirac(links, mesh, device_mesh, axis_t, axis_z)
+        return TpuWilsonDirac(links, mesh, device_mesh, axis_t, axis_z, axis_y)
 
     def _field_spec(self):
         from jax.sharding import PartitionSpec as P
 
-        return P(None, None, self.axis_t, self.axis_z, None)
+        return P(None, None, self.axis_t, self.axis_z, self.axis_y)
 
     def _links_spec(self):
         from jax.sharding import PartitionSpec as P
 
-        return P(None, None, None, self.axis_t, self.axis_z, None)
+        return P(None, None, None, self.axis_t, self.axis_z, self.axis_y)
 
     def shard_field(self, x):
         """Lay a (4,3,T,Z,V) field out to match this operator's sharding."""
@@ -293,7 +299,8 @@ class TpuWilsonDirac(LinearOperator):
     # ---- nearest-neighbour access -------------------------------------
     def _shift(self, v, mu: int, fwd: bool):
         """Value at the ±mu neighbour, periodic. v: (..., T, Z, Y*X).
-        Inside shard_map, t/z shifts halo-exchange via ppermute."""
+        Inside shard_map, t/z/y shifts halo-exchange via ppermute (y's
+        face on the merged axis is one x-row, width = X)."""
         t, z, y, xx = self.mesh.spacetime_dims
         s = -1 if fwd else 1
         if mu == 0:
@@ -310,8 +317,14 @@ class TpuWilsonDirac(LinearOperator):
             )
         ax = v.ndim - 1
         if mu == 2:
-            return cplx.roll(v, -xx if fwd else xx, ax)
-        mask_last, mask_first = _xmasks(y, xx)
+            from mgpgcr_tpu.parallel.halo import periodic_shift
+
+            return periodic_shift(
+                v, ax, s, self.axis_y, self._axis_size(self.axis_y), width=xx
+            )
+        # x shifts stay in-shard: masks sized to the local merged axis
+        y_loc = v.shape[-1] // xx
+        mask_last, mask_first = _xmasks(y_loc, xx)
         if fwd:  # psi(x+1): roll -1, except x == X-1 wraps to x = 0
             return cplx.where(mask_last, cplx.roll(v, xx - 1, ax), cplx.roll(v, -1, ax))
         return cplx.where(mask_first, cplx.roll(v, -(xx - 1), ax), cplx.roll(v, 1, ax))

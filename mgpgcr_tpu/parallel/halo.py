@@ -26,42 +26,47 @@ def periodic_shift(
     shift: int,
     axis_name: Optional[str] = None,
     axis_size: int = 1,
+    width: int = 1,
 ) -> jnp.ndarray:
-    """Periodic shift of a (possibly sharded) lattice axis by +-1 site.
+    """Periodic shift of a (possibly sharded) lattice axis by one site.
 
     ``shift=-1`` brings the value at site ``i+1`` to slot ``i`` (forward
     neighbour access psi(x+mu)); ``shift=+1`` brings site ``i-1`` to slot
     ``i`` (backward access psi(x-mu)). When ``axis_name`` names a mesh axis
     of size > 1 this must be called inside ``shard_map``; ``x`` is then the
-    local shard and the face plane is exchanged with the ring neighbour.
+    local shard and the face is exchanged with the ring neighbour.
+
+    ``width`` is the element count of one site along this array axis: 1
+    for a plain lattice axis, X for the y direction on the merged Y*X
+    minor axis of the TPU layout (the face is then a whole x-row).
     """
     if shift not in (-1, 1):
         raise ValueError("halo exchange supports single-site shifts only")
     if cplx.is_cf(x):  # split re/im pair: shift both real components
         return cplx.CF(
-            periodic_shift(x.re, axis, shift, axis_name, axis_size),
-            periodic_shift(x.im, axis, shift, axis_name, axis_size),
+            periodic_shift(x.re, axis, shift, axis_name, axis_size, width),
+            periodic_shift(x.im, axis, shift, axis_name, axis_size, width),
         )
     if axis_name is None or axis_size == 1:
-        return jnp.roll(x, shift, axis)
+        return jnp.roll(x, shift * width, axis)
 
     axis = axis % x.ndim
     n = axis_size
     if shift == -1:
         # slot i <- site i+1: every device needs its +1 neighbour's first
-        # plane as its new last plane; device j receives from j+1, i.e. each
-        # device sends its first plane to the ring predecessor.
-        face = lax.slice_in_dim(x, 0, 1, axis=axis)
+        # face as its new last face; device j receives from j+1, i.e. each
+        # device sends its first face to the ring predecessor.
+        face = lax.slice_in_dim(x, 0, width, axis=axis)
         perm = [(i, (i - 1) % n) for i in range(n)]
         recv = lax.ppermute(face, axis_name, perm)
-        body = lax.slice_in_dim(x, 1, None, axis=axis)
+        body = lax.slice_in_dim(x, width, None, axis=axis)
         return lax.concatenate([body, recv], dimension=axis)
     else:
-        # slot i <- site i-1: each device needs its -1 neighbour's last plane
-        # as its new first plane; device j receives from j-1.
+        # slot i <- site i-1: each device needs its -1 neighbour's last face
+        # as its new first face; device j receives from j-1.
         extent = x.shape[axis]
-        face = lax.slice_in_dim(x, extent - 1, extent, axis=axis)
+        face = lax.slice_in_dim(x, extent - width, extent, axis=axis)
         perm = [(i, (i + 1) % n) for i in range(n)]
         recv = lax.ppermute(face, axis_name, perm)
-        body = lax.slice_in_dim(x, 0, extent - 1, axis=axis)
+        body = lax.slice_in_dim(x, 0, extent - width, axis=axis)
         return lax.concatenate([recv, body], dimension=axis)

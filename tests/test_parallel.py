@@ -137,6 +137,47 @@ def test_sharded_tpu_layout_stencil_matches(small_problem):
     )
 
 
+def test_sharded_tpu_layout_3axis_y_decomposition(small_problem):
+    """T x Z x Y decomposition: the y halo is a whole x-row ppermuted on
+    the merged Y*X minor axis (width = X); x shifts stay in-shard."""
+    from mgpgcr_tpu import cplx
+    from mgpgcr_tpu.ops.dirac import DiracOperator
+    from mgpgcr_tpu.ops.wilson_tpu import TpuWilsonDirac, field_to_tpu
+
+    mesh, links, psi = small_problem
+    links_cf = cplx.ascf(links, jnp.float64)
+    psi_t = field_to_tpu(cplx.ascf(psi, jnp.float64), mesh)
+    ref = TpuWilsonDirac.build(links_cf, mesh).apply(psi_t)
+
+    dmesh = make_lattice_device_mesh(
+        8, axis_names=("t", "z", "y"), axis_sizes=(2, 2, 2)
+    )
+    op = TpuWilsonDirac.build_sharded(
+        links_cf, mesh, dmesh, axis_t="t", axis_z="z", axis_y="y"
+    )
+    got = jax.jit(lambda o, x: o.apply(x))(op, op.shard_field(psi_t))
+    np.testing.assert_allclose(
+        cplx.to_numpy(got), cplx.to_numpy(ref), atol=1e-12
+    )
+
+    # full solve parity through the sharded operator
+    a = DiracOperator(op, cplx.from_scalar(0.12, jnp.float64))
+    a_ref = DiracOperator(
+        TpuWilsonDirac.build(links_cf, mesh), cplx.from_scalar(0.12, jnp.float64)
+    )
+    rhs = cplx.random(jax.random.PRNGKey(5), op.field_shape, jnp.float64)
+    params = GCRParams(tol=1e-10, max_iter=300, restart=5)
+    got_res = jax.jit(lambda a, b: gcr_solve(a, b, params))(
+        a, op.shard_field(rhs)
+    )
+    ref_res = gcr_solve(a_ref, rhs, params)
+    assert bool(got_res.converged)
+    assert int(got_res.n_iters) == int(ref_res.n_iters)
+    np.testing.assert_allclose(
+        cplx.to_numpy(got_res.x), cplx.to_numpy(ref_res.x), atol=1e-8
+    )
+
+
 def test_distributed_mg_gcr_tpu_layout(small_problem):
     """The full production path, sharded: TPU-layout CF fields, domain-
     decomposed stencil, MG preconditioner, distributed GCR — all on a
