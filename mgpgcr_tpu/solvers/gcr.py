@@ -355,6 +355,28 @@ def _gcr_solve_fused(a, rhs, params: GCRParams, precond, x0) -> SolveResult:
     )
 
 
+def _mega_step_config(a, precond):
+    """(links, k, mesh) when the one-pass fused GCR step applies:
+    unpreconditioned A = I - kD with the z-resident t-streaming Pallas
+    Wilson-Dirac as D and a CF k. None otherwise."""
+    if precond is not None:
+        return None
+    from mgpgcr_tpu.ops.dirac import DiracOperator
+    from mgpgcr_tpu.ops.pallas.dslash import PallasWilsonDirac, _links_is_tmajor
+
+    if not isinstance(a, DiracOperator):
+        return None
+    d = a.d
+    if not isinstance(d, PallasWilsonDirac) or not cplx.is_cf(a.k):
+        return None
+    if not _links_is_tmajor(d.links):
+        return None
+    t, z, y, xx = d.mesh.spacetime_dims
+    if d.tb not in (None, 1) or d.zb not in (None, z) or t < 2:
+        return None
+    return d.links, a.k, d.mesh
+
+
 def _gcr_solve_fused_cycles(a, rhs, params: GCRParams, precond, x0) -> SolveResult:
     """Restart-cycle-unrolled fused GCR in the z-basis representation.
 
@@ -379,9 +401,17 @@ def _gcr_solve_fused_cycles(a, rhs, params: GCRParams, precond, x0) -> SolveResu
     ||rhs||^2 (or max_iter is reached), freezing x, r, it and hist exactly
     where the single-loop form would have stopped; the rest of the cycle
     runs as algebraic no-ops (at most R-1 wasted operator applies per
-    solve). Reference loop: GCR.h:222-288."""
+    solve). Reference loop: GCR.h:222-288.
+
+    When A is the streaming Pallas Wilson-Dirac operator and there is no
+    preconditioner, each step's K1r + A-apply + K2 collapse into ONE
+    fused pass (ops/pallas/gcr_dslash.py): the residual update rides the
+    stencil's plane streaming and the beta dots consume each az plane
+    before it leaves VMEM — ~3 full-field HBM passes saved per
+    iteration."""
     from mgpgcr_tpu.ops.pallas import gcr_kernels as gk
 
+    mega = _mega_step_config(a, precond)
     apply_a = a.apply if hasattr(a, "apply") else a
     rdtype = cplx.real_dtype(rhs)
     S = params.storage_size
@@ -431,7 +461,16 @@ def _gcr_solve_fused_cycles(a, rhs, params: GCRParams, precond, x0) -> SolveResu
             it = it + active.astype(jnp.int32)
             alphas.append(alpha)
 
-            r, r2 = gk.update_r(r, aps, j, alpha)
+            if mega is not None:
+                from mgpgcr_tpu.ops.pallas import gcr_dslash as gds
+
+                mlinks, mk, lmesh = mega
+                r, az, r2, raw = gds.gcr_stream_step(
+                    mlinks, r, aps, alpha, mk, j + 1, lmesh
+                )
+                z = r
+            else:
+                r, r2 = gk.update_r(r, aps, j, alpha)
             r2 = r2.astype(rdtype)
             hist = hist.at[it].set(
                 jnp.where(
@@ -441,11 +480,12 @@ def _gcr_solve_fused_cycles(a, rhs, params: GCRParams, precond, x0) -> SolveResu
                 )
             )
 
-            z = precond(r) if precond is not None else r
-            az = apply_a(z)
+            if mega is None:
+                z = precond(r) if precond is not None else r
+                az = apply_a(z)
 
-            # stored A-directions live in the static stack prefix [0:j+1]
-            raw = gk.beta_dots(aps, az, lim=j + 1)
+                # stored A-directions live in the static prefix [0:j+1]
+                raw = gk.beta_dots(aps, az, lim=j + 1)
             betas = cplx.where(
                 ap_norms > 0,
                 _div_real(raw, ap_norms.astype(raw.dtype), rdtype),

@@ -76,3 +76,70 @@ def test_fused_independent_residual(problem):
     r = rhs - a.apply(res.x)
     rel = float(jnp.sqrt(cplx.abs2_sum(r) / cplx.abs2_sum(rhs)))
     assert rel < 5e-10, rel
+
+
+def test_fused_mega_step_pallas_operator(problem):
+    """The one-pass fused step (r-update + Dslash + beta dots in one
+    kernel, ops/pallas/gcr_dslash.py) engages for the streaming Pallas
+    operator and reproduces the generic trajectory."""
+    from mgpgcr_tpu.ops.pallas.dslash import PallasWilsonDirac
+    from mgpgcr_tpu.solvers.gcr import _mega_step_config
+
+    a_ref, rhs = problem
+    mesh = a_ref.d.mesh
+    # rebuild D as the streaming Pallas operator (interpret mode on CPU)
+    links = random_links_cf(11, mesh, jnp.float64)
+    d = PallasWilsonDirac.build(links, mesh, interpret=True)
+    a = DiracOperator(d, cplx.from_scalar(0.12, jnp.float64))
+    assert _mega_step_config(a, None) is not None, "mega path did not engage"
+
+    params = GCRParams(tol=1e-9, max_iter=60, restart=5)
+    ref = gcr_solve(a_ref, rhs, params)  # generic path, slab operator
+    got = gcr_solve(a, rhs, params, fused=True)
+    assert int(got.n_iters) == int(ref.n_iters)
+    np.testing.assert_allclose(
+        cplx.to_numpy(got.x), cplx.to_numpy(ref.x), rtol=1e-8, atol=1e-10
+    )
+    r = rhs - a_ref.apply(got.x)
+    rel = float(jnp.sqrt(cplx.abs2_sum(r) / cplx.abs2_sum(rhs)))
+    assert rel < 5e-9, rel
+
+
+def test_mega_step_kernel_matches_composition(problem):
+    """gcr_stream_step == update_r + A-apply + beta_dots, directly."""
+    from mgpgcr_tpu.ops.pallas import gcr_kernels as gk
+    from mgpgcr_tpu.ops.pallas.dslash import PallasWilsonDirac
+    from mgpgcr_tpu.ops.pallas.gcr_dslash import gcr_stream_step
+
+    _, rhs = problem
+    mesh = LatticeMesh((4, 4, 2, 4, 4, 3))
+    links = random_links_cf(11, mesh, jnp.float64)
+    d = PallasWilsonDirac.build(links, mesh, interpret=True)
+    k = cplx.from_scalar(0.12, jnp.float64)
+    a = DiracOperator(d, k)
+
+    S = 4
+    key = jax.random.PRNGKey(9)
+    aps = cplx.random(key, (S, *d.field_shape), jnp.float64)
+    r = cplx.random(jax.random.PRNGKey(10), d.field_shape, jnp.float64)
+    alpha = cplx.CF(jnp.asarray(0.3, jnp.float64), jnp.asarray(-0.7, jnp.float64))
+
+    for lim in (1, 2, 4):
+        rp, az, r2, raw = gcr_stream_step(d.links, r, aps, alpha, k, lim, mesh)
+        # reference composition
+        ap_slot = cplx.CF(aps.re[lim - 1], aps.im[lim - 1])
+        rp_ref = r - alpha * ap_slot
+        az_ref = a.apply(rp_ref)
+        raw_ref = gk.beta_dots(aps, az_ref, lim=lim)
+        np.testing.assert_allclose(
+            cplx.to_numpy(rp), cplx.to_numpy(rp_ref), atol=1e-12
+        )
+        np.testing.assert_allclose(
+            cplx.to_numpy(az), cplx.to_numpy(az_ref), atol=1e-11
+        )
+        np.testing.assert_allclose(
+            float(r2), float(cplx.abs2_sum(rp_ref)), rtol=1e-12
+        )
+        np.testing.assert_allclose(
+            cplx.to_numpy(raw), cplx.to_numpy(raw_ref), rtol=1e-10, atol=1e-11
+        )
