@@ -72,7 +72,8 @@ def _gcr_step_kernel(
 ):
     """refs tail: [as_re, as_im (lim-1 rows at plane i, if lim > 1)],
     uc_re, uc_im, ul_re, ul_im, az_re, az_im, orp_re, orp_im, r2_ref,
-    raw_ref, then scratch: rs_re, rs_im, asl_re, asl_im, us_re, us_im."""
+    raw_ref, apr_ref, then scratch: rs_re, rs_im, asl_re, asl_im,
+    us_re, us_im."""
     refs = list(refs)
     rs_re, rs_im, asl_re, asl_im, us_re, us_im = refs[-6:]
     del refs[-6:]
@@ -80,7 +81,7 @@ def _gcr_step_kernel(
         as_re, as_im = refs[0], refs[1]
         del refs[:2]
     (uc_re, uc_im, ul_re, ul_im,
-     az_re, az_im, orp_re, orp_im, r2_ref, raw_ref) = refs
+     az_re, az_im, orp_re, orp_im, r2_ref, raw_ref, apr_ref) = refs
 
     i = pl.program_id(0)
     two = jnp.asarray(2, jnp.asarray(i).dtype)
@@ -202,8 +203,12 @@ def _gcr_step_kernel(
         az_im[s] = zi
         azs.append((zr, zi))
 
-    # beta dots against this plane of every stored A-direction: rows
-    # [0:lim-1] streamed at plane i, row lim-1 carried in scratch
+    # dots against this plane of every stored A-direction: rows [0:lim-1]
+    # streamed at plane i, row lim-1 carried in scratch. Two dot families
+    # from the same resident planes: <ap_j, az> (the beta numerators) and
+    # <ap_j, r'> — the latter feed next-alpha's numerator recursion
+    # <ap_new, r'> = <az, r'> - sum conj(beta_j) <ap_j, r'>, saving K3z a
+    # full residual read (solvers/gcr.py cycles path).
     for j in range(lim):
         if j == lim - 1:
             dj_re, dj_im = asl_re[slot2], asl_im[slot2]
@@ -211,12 +216,30 @@ def _gcr_step_kernel(
             dj_re, dj_im = as_re[j], as_im[j]
         acc_r = jnp.zeros((), fdt)
         acc_i = jnp.zeros((), fdt)
+        pr_r = jnp.zeros((), fdt)
+        pr_i = jnp.zeros((), fdt)
         for s in range(4):
             zr, zi = azs[s]
             acc_r += jnp.sum(dj_re[s] * zr + dj_im[s] * zi)
             acc_i += jnp.sum(dj_re[s] * zi - dj_im[s] * zr)
+            cr, ci = center[s].re, center[s].im
+            pr_r += jnp.sum(dj_re[s] * cr + dj_im[s] * ci)
+            pr_i += jnp.sum(dj_re[s] * ci - dj_im[s] * cr)
         _acc(raw_ref, (j, 0), acc_r)
         _acc(raw_ref, (j, 1), acc_i)
+        _acc(apr_ref, (j, 0), pr_r)
+        _acc(apr_ref, (j, 1), pr_i)
+
+    # <az, r'> in the last row of apr_ref
+    zr_r = jnp.zeros((), fdt)
+    zr_i = jnp.zeros((), fdt)
+    for s in range(4):
+        zr, zi = azs[s]
+        cr, ci = center[s].re, center[s].im
+        zr_r += jnp.sum(zr * cr + zi * ci)
+        zr_i += jnp.sum(zr * ci - zi * cr)
+    _acc(apr_ref, (s_rows, 0), zr_r)
+    _acc(apr_ref, (s_rows, 1), zr_i)
 
     # carries for step i+1
     rs_re[prev2] = nxr
@@ -286,6 +309,7 @@ def gcr_stream_step(links, r, aps, alpha, k, lim: int, mesh):
         vspec(fplane, lambda i: (0, 0, (i + 1) % nt, 0, 0)),
         pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((s_rows, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((s_rows + 1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
     )
 
     scal = jnp.stack(
@@ -325,7 +349,7 @@ def gcr_stream_step(links, r, aps, alpha, k, lim: int, mesh):
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=117 * 1024 * 1024
         )
-    az_re, az_im, orp_re, orp_im, r2, raw = pl.pallas_call(
+    az_re, az_im, orp_re, orp_im, r2, raw, apr = pl.pallas_call(
         kernel,
         grid=(nt,),
         in_specs=in_specs,
@@ -337,6 +361,7 @@ def gcr_stream_step(links, r, aps, alpha, k, lim: int, mesh):
             jax.ShapeDtypeStruct(r.re.shape, fdt),
             jax.ShapeDtypeStruct((1, 1), fdt),
             jax.ShapeDtypeStruct((s_rows, 2), fdt),
+            jax.ShapeDtypeStruct((s_rows + 1, 2), fdt),
         ),
         scratch_shapes=[
             pltpu.VMEM((2, 4, 3, 1, z, v), fdt),
@@ -352,4 +377,6 @@ def gcr_stream_step(links, r, aps, alpha, k, lim: int, mesh):
     rp = cplx.CF(orp_re, orp_im)
     az = cplx.CF(az_re, az_im)
     raw_cf = cplx.CF(raw[:, 0], raw[:, 1])
-    return rp, az, r2[0, 0], raw_cf
+    # apr rows [0:lim] = <ap_j, r'>; row s_rows = <az, r'>
+    apr_cf = cplx.CF(apr[:, 0], apr[:, 1])
+    return rp, az, r2[0, 0], raw_cf, apr_cf

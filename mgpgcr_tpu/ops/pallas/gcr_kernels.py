@@ -339,10 +339,14 @@ def dir_update(
 # cycle's z vectors is tracked as scalar coefficients by the solver and
 # resolved once per cycle by basis_flush.
 # ---------------------------------------------------------------------------
-def _k3z_kernel(slot_ref, betas_ref, az_re, az_im, r_re, r_im,
-                aps_re, aps_im, oaps_re, oaps_im, apn_ref, apr_ref,
-                *, lim: int):
+def _k3z_kernel(slot_ref, betas_ref, *refs, lim: int, with_r: bool):
     del slot_ref
+    if with_r:
+        (az_re, az_im, r_re, r_im, aps_re, aps_im,
+         oaps_re, oaps_im, apn_ref, apr_ref) = refs
+    else:
+        (az_re, az_im, aps_re, aps_im,
+         oaps_re, oaps_im, apn_ref) = refs
     a_re, a_im = az_re[...], az_im[...]
     for j in range(lim):
         br = betas_ref[j, 0]
@@ -352,68 +356,80 @@ def _k3z_kernel(slot_ref, betas_ref, az_re, az_im, r_re, r_im,
     oaps_re[0] = a_re
     oaps_im[0] = a_im
     _acc(apn_ref, (0, 0), jnp.sum(a_re * a_re + a_im * a_im))
-    rr, ri = r_re[...], r_im[...]
-    _acc(apr_ref, (0, 0), jnp.sum(a_re * rr + a_im * ri))
-    _acc(apr_ref, (0, 1), jnp.sum(a_re * ri - a_im * rr))
+    if with_r:
+        rr, ri = r_re[...], r_im[...]
+        _acc(apr_ref, (0, 0), jnp.sum(a_re * rr + a_im * ri))
+        _acc(apr_ref, (0, 1), jnp.sum(a_re * ri - a_im * rr))
 
 
 def ap_update(az, r, aps: cplx.CF, betas: cplx.CF, slot, lim: int):
     """ap = az - sum_{j<lim} betas_j aps_j written in place into stack row
     ``slot`` (other rows pass through via output aliasing). Also returns
-    this direction's ||ap||^2 and <ap, r> (next iteration's alpha).
+    this direction's ||ap||^2 and, when ``r`` is given, <ap, r> (next
+    iteration's alpha numerator; pass r=None when the caller derives it
+    from the fused step's dot recursion instead — one field pass less).
     The direction p itself is never formed (z-basis GCR)."""
     dt = az.dtype
     z2 = _as2d(az.re)
     m, n = z2.shape
     s = aps.shape[0]
-    rows = _chunk_rows(m, n, 2 * (2 * lim + 5))
+    with_r = r is not None
+    rows = _chunk_rows(m, n, 2 * (2 * lim + 3 + (2 if with_r else 0)))
     grid = (m // rows,)
 
     field = _vspec((rows, n), lambda i, sl: (i, 0))
     stack_in = _vspec((max(lim, 1), rows, n), lambda i, sl: (0, i, 0))
     stack_out = _vspec((1, rows, n), lambda i, sl: (sl[0], i, 0))
 
+    n_fields = 4 if with_r else 2
+    out_specs = (
+        stack_out, stack_out,
+        _smem((1, 1), lambda i, sl: (0, 0)),
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((s, m, n), dt),
+        jax.ShapeDtypeStruct((s, m, n), dt),
+        jax.ShapeDtypeStruct((1, 1), dt),
+    ]
+    if with_r:
+        out_specs = out_specs + (_smem((1, 2), lambda i, sl: (0, 0)),)
+        out_shape.append(jax.ShapeDtypeStruct((1, 2), dt))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
-        in_specs=[
-            _smem((s, 2), lambda i, sl: (0, 0)),
-            field, field, field, field,
-            stack_in, stack_in,
-        ],
-        out_specs=(
-            stack_out, stack_out,
-            _smem((1, 1), lambda i, sl: (0, 0)),
-            _smem((1, 2), lambda i, sl: (0, 0)),
-        ),
+        in_specs=[_smem((s, 2), lambda i, sl: (0, 0))]
+        + [field] * n_fields
+        + [stack_in, stack_in],
+        out_specs=out_specs,
     )
     betas_arr = jnp.stack([betas.re, betas.im], axis=1).astype(dt)
-    # stacks (operands 6, 7 counting the scalar-prefetch arg) update in place
-    oaps_re, oaps_im, apn, apr = pl.pallas_call(
-        functools.partial(_k3z_kernel, lim=lim),
+    field_args = [_as2d(az.re), _as2d(az.im)]
+    if with_r:
+        field_args += [_as2d(r.re), _as2d(r.im)]
+    first_stack = 2 + n_fields
+    outs = pl.pallas_call(
+        functools.partial(_k3z_kernel, lim=lim, with_r=with_r),
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((s, m, n), dt),
-            jax.ShapeDtypeStruct((s, m, n), dt),
-            jax.ShapeDtypeStruct((1, 1), dt),
-            jax.ShapeDtypeStruct((1, 2), dt),
-        ),
-        input_output_aliases={6: 0, 7: 1},
+        out_shape=tuple(out_shape),
+        input_output_aliases={first_stack: 0, first_stack + 1: 1},
         interpret=_interpret(),
         **_compiler_kwargs(),
     )(
         jnp.asarray([slot], jnp.int32),
         betas_arr,
-        _as2d(az.re), _as2d(az.im),
-        _as2d(r.re), _as2d(r.im),
+        *field_args,
         aps.re.reshape(s, m, n), aps.im.reshape(s, m, n),
     )
+    oaps_re, oaps_im, apn = outs[:3]
     shape = aps.shape
-    return (
+    res = (
         cplx.CF(oaps_re.reshape(shape), oaps_im.reshape(shape)),
         apn[0, 0],
-        cplx.CF(apr[0, 0], apr[0, 1]),
     )
+    if with_r:
+        apr = outs[3]
+        res = res + (cplx.CF(apr[0, 0], apr[0, 1]),)
+    return res
 
 
 # ---------------------------------------------------------------------------

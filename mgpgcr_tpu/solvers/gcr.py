@@ -465,7 +465,7 @@ def _gcr_solve_fused_cycles(a, rhs, params: GCRParams, precond, x0) -> SolveResu
                 from mgpgcr_tpu.ops.pallas import gcr_dslash as gds
 
                 mlinks, mk, lmesh = mega
-                r, az, r2, raw = gds.gcr_stream_step(
+                r, az, r2, raw, aprd = gds.gcr_stream_step(
                     mlinks, r, aps, alpha, mk, j + 1, lmesh
                 )
                 z = r
@@ -505,7 +505,21 @@ def _gcr_solve_fused_cycles(a, rhs, params: GCRParams, precond, x0) -> SolveResu
             coef.append(row)
 
             slot = 0 if j == R - 1 else j + 1
-            aps, apn, apr = gk.ap_update(az, r, aps, betas, slot, lim=j + 1)
+            if mega is not None:
+                # <ap_new, r'> by recursion over the fused step's dots:
+                # ap_new = az - sum beta_i ap_i, so
+                # <ap_new, r'> = <az, r'> - sum conj(beta_i) <ap_i, r'>
+                # (all computed in-kernel from resident planes); K3z then
+                # skips its residual read.
+                s_rows = aps.shape[0]
+                apr = cplx.CF(aprd.re[s_rows], aprd.im[s_rows])
+                for i in range(j + 1):
+                    apr = apr - bs[i].conj() * cplx.CF(aprd.re[i], aprd.im[i])
+                aps, apn = gk.ap_update(az, None, aps, betas, slot, lim=j + 1)
+            else:
+                aps, apn, apr = gk.ap_update(
+                    az, r, aps, betas, slot, lim=j + 1
+                )
             ap2 = apn.astype(rdtype)
             ap_norms = ap_norms.at[slot].set(ap2)
 

@@ -125,7 +125,9 @@ def test_mega_step_kernel_matches_composition(problem):
     alpha = cplx.CF(jnp.asarray(0.3, jnp.float64), jnp.asarray(-0.7, jnp.float64))
 
     for lim in (1, 2, 4):
-        rp, az, r2, raw = gcr_stream_step(d.links, r, aps, alpha, k, lim, mesh)
+        rp, az, r2, raw, aprd = gcr_stream_step(
+            d.links, r, aps, alpha, k, lim, mesh
+        )
         # reference composition
         ap_slot = cplx.CF(aps.re[lim - 1], aps.im[lim - 1])
         rp_ref = r - alpha * ap_slot
@@ -142,4 +144,21 @@ def test_mega_step_kernel_matches_composition(problem):
         )
         np.testing.assert_allclose(
             cplx.to_numpy(raw), cplx.to_numpy(raw_ref), rtol=1e-10, atol=1e-11
+        )
+        # the extra dot family: <ap_j, r'> rows and <az, r'> in the tail
+        for j in range(lim):
+            ref_dot = cplx.vdot(cplx.CF(aps.re[j], aps.im[j]), rp_ref)
+            got_dot = complex(float(aprd.re[j]), float(aprd.im[j]))
+            np.testing.assert_allclose(
+                got_dot,
+                complex(float(ref_dot.re), float(ref_dot.im)),
+                rtol=1e-10,
+                atol=1e-11,
+            )
+        ref_azr = cplx.vdot(az_ref, rp_ref)
+        np.testing.assert_allclose(
+            complex(float(aprd.re[S]), float(aprd.im[S])),
+            complex(float(ref_azr.re), float(ref_azr.im)),
+            rtol=1e-10,
+            atol=1e-11,
         )
