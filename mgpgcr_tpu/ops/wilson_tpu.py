@@ -354,22 +354,26 @@ class TpuWilsonDirac(LinearOperator):
     def _apply_local(self, links, psi):
         psi_slabs = [psi[s] for s in range(4)]
         out = [None] * 4
+        # communication/compute overlap: issue every shift (the sharded
+        # ones lower to ppermute halo exchanges) BEFORE any forward
+        # colour contraction, so XLA's latency-hiding scheduler can fly
+        # the face transfers of all 8 hops behind the local einsums
+        # instead of serialising shift -> contract per direction
+        fwd_h = []
+        bwd_w = []
         for mu in range(4):
-            u = links[mu]  # (3, 3, T, Z, V)
-
-            # forward hop: (1 - gamma_mu) U(x) psi(x + mu) — project to the
-            # 2-spin half field first, then shift/colour-multiply half the
-            # data (projection commutes with both)
             h = project_half(psi_slabs, mu, True)
-            h = [self._shift(hq, mu, True) for hq in h]
-            g = colour_mul(u, h, dagger=False)
+            fwd_h.append([self._shift(hq, mu, True) for hq in h])
+            # backward hop shifts the product U^dag psi (colour mul
+            # commutes with the site shift), so its compute precedes its
+            # communication — also issued up front
+            w = colour_mul(links[mu], project_half(psi_slabs, mu, False),
+                           dagger=True)
+            bwd_w.append([self._shift(wq, mu, False) for wq in w])
+        for mu in range(4):
+            g = colour_mul(links[mu], fwd_h[mu], dagger=False)
             out = accumulate_half(out, g, mu, True)
-
-            # backward hop: (1 + gamma_mu) shift_bwd(U^dag(x) psi(x))
-            h = project_half(psi_slabs, mu, False)
-            w = colour_mul(u, h, dagger=True)
-            w = [self._shift(wq, mu, False) for wq in w]
-            out = accumulate_half(out, w, mu, False)
+            out = accumulate_half(out, bwd_w[mu], mu, False)
         return cplx.stack(out, axis=0)
 
     # ---- convenience ----------------------------------------------------

@@ -76,26 +76,36 @@ class ShardedWilsonDirac(LinearOperator):
 
     def _local_apply(self, links, psi):
         """Stencil on local shards; psi: (..., t, z, y, x, 4, 3) local,
-        either a complex array or a split re/im ``cplx.CF`` pair."""
+        either a complex array or a split re/im ``cplx.CF`` pair.
+
+        All halo exchanges (the periodic_shift ppermutes of every hop) are
+        issued before any colour/spin contraction so XLA's latency-hiding
+        scheduler can overlap the face transfers with the local einsums
+        instead of serialising shift -> contract per direction."""
         dt = psi.dtype
-        out = cplx.zeros_like(psi)
+        shifts = []
         for mu in range(4):
             name = self.axis_names[mu]
             nsz = self._axis_size(name)
             psi_axis = psi.ndim - 6 + mu
             u = links[mu].astype(dt)
+            udag = cplx.swapaxes(cplx.conj(u), -1, -2)
+            shifts.append(
+                (
+                    u,
+                    periodic_shift(psi, psi_axis, -1, name, nsz),
+                    periodic_shift(udag, mu, 1, name, nsz),
+                    periodic_shift(psi, psi_axis, 1, name, nsz),
+                )
+            )
+        out = cplx.zeros_like(psi)
+        for mu, (u, fwd, udag, bwd) in enumerate(shifts):
             pm = _spin_proj(P_MINUS[mu], psi, dt)
             pp = _spin_proj(P_PLUS[mu], psi, dt)
-
             # forward: (1 - gamma_mu) U_mu(x) psi(x + mu)
-            fwd = periodic_shift(psi, psi_axis, -1, name, nsz)
             fwd = cplx.einsum2("tzyxab,...tzyxsb->...tzyxsa", u, fwd)
             out = out + cplx.einsum2("st,...tc->...sc", pm, fwd)
-
             # backward: (1 + gamma_mu) U_mu^dag(x - mu) psi(x - mu)
-            udag = cplx.swapaxes(cplx.conj(u), -1, -2)
-            udag = periodic_shift(udag, mu, 1, name, nsz)
-            bwd = periodic_shift(psi, psi_axis, 1, name, nsz)
             bwd = cplx.einsum2("tzyxab,...tzyxsb->...tzyxsa", udag, bwd)
             out = out + cplx.einsum2("st,...tc->...sc", pp, bwd)
         return out
