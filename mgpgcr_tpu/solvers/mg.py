@@ -68,17 +68,19 @@ def _from_blocked(block_map: BlockMap, xb, layout: str):
 def restrict(q, block_map: BlockMap, x, layout: str = "flat"):
     """R x = P^H x: fine field -> (..., nb * ne) (MG::restrict, MG.h:367-383).
 
-    q: (nb, block_len, ne) orthonormal per-block basis."""
+    q: (ne, nb, block_len) orthonormal per-block basis — ne on a MAJOR
+    axis: with ne minor the (8, 128) HBM tiling pads ne=12 to 128 lanes,
+    an ~11x memory blow-up that OOMs 32^4 setups."""
     xb = _to_blocked(block_map, x, layout)  # (..., nb, bl)
-    rc = cplx.einsum2("bke,...bk->...be", cplx.conj(q), xb)
-    return rc.reshape(rc.shape[:-2] + (q.shape[0] * q.shape[2],))
+    rc = cplx.einsum2("ebk,...bk->...be", cplx.conj(q), xb)
+    return rc.reshape(rc.shape[:-2] + (q.shape[0] * q.shape[1],))
 
 
 def prolong(q, block_map: BlockMap, xc, layout: str = "flat"):
     """P xc: (..., nb * ne) -> fine field (MG::expand, MG.h:348-364)."""
-    nb, _, ne = q.shape
+    ne, nb, _ = q.shape
     xcb = xc.reshape(xc.shape[:-1] + (nb, ne))
-    xb = cplx.einsum2("bke,...be->...bk", q, xcb)
+    xb = cplx.einsum2("ebk,...be->...bk", q, xcb)
     return _from_blocked(block_map, xb, layout)
 
 
@@ -88,7 +90,7 @@ def prolong(q, block_map: BlockMap, xc, layout: str = "flat"):
 @dataclasses.dataclass(frozen=True)
 class MGPreconditioner(LinearOperator):
     a: LinearOperator  # fine operator
-    q: jnp.ndarray  # (nb, block_len, ne) per-block orthonormal basis (or CF)
+    q: jnp.ndarray  # (ne, nb, block_len) per-block orthonormal basis (or CF)
     coarse: LinearOperator  # Galerkin coarse operator (dense or block-ELL)
     block_map: BlockMap
     params: MGParams
@@ -192,12 +194,12 @@ def coarse_gamma5_fn(ne: int):
 
 def _batched_mgs(mats):
     """Per-block modified Gram--Schmidt with reorthogonalisation:
-    (nb, bl, ne) -> orthonormal columns. Works for complex and CF (no
-    complex QR exists for the split re/im representation)."""
-    nb, bl, ne = mats.shape
+    (ne, nb, bl) -> orthonormal columns (same layout). Works for complex
+    and CF (no complex QR exists for the split re/im representation)."""
+    ne, nb, bl = mats.shape
     cols = []
     for e in range(ne):
-        v = mats[:, :, e]
+        v = mats[e]  # (nb, bl)
         for _ in range(2):  # one reorthogonalisation pass
             for qj in cols:
                 proj = cplx.einsum2("bk,bk->b", cplx.conj(qj), v)
@@ -207,23 +209,24 @@ def _batched_mgs(mats):
         )
         v = cplx.scale_real(v, 1.0 / nrm)
         cols.append(v)
-    return cplx.stack(cols, axis=2)
+    return cplx.stack(cols, axis=0)
 
 
 def block_orthonormalize(vecs, block_map: BlockMap, layout: str = "flat"):
-    """Per-block orthonormal basis from (ne, ...) vectors -> (nb, bl, ne).
+    """Per-block orthonormal basis from (ne, ...) vectors -> (ne, nb, bl).
 
     Batched thin-QR (complex path) / batched MGS (CF path); replaces the
     reference's per-block serial Gram--Schmidt (MG.h:190-198) — same
-    column span, hence an equivalent coarse space."""
+    column span, hence an equivalent coarse space. The basis keeps ne on
+    a MAJOR axis: stored (nb, bl, ne) the TPU (8, 128) tiling pads
+    ne (~12) to 128 lanes — an ~11x memory expansion that OOMs at 32^4."""
     blocked = _to_blocked(block_map, vecs, layout)  # (ne, nb, bl)
-    mats = cplx.transpose(blocked, (1, 2, 0))  # (nb, bl, ne)
-    if mats.shape[1] < mats.shape[2]:
+    if blocked.shape[2] < blocked.shape[0]:
         raise ValueError("block_len smaller than number of coarse vectors")
-    if cplx.is_cf(mats):
-        return _batched_mgs(mats)
-    q, _ = jnp.linalg.qr(mats, mode="reduced")
-    return q
+    if cplx.is_cf(blocked):
+        return _batched_mgs(blocked)
+    q, _ = jnp.linalg.qr(cplx.transpose(blocked, (1, 2, 0)), mode="reduced")
+    return cplx.transpose(q, (2, 0, 1))
 
 
 def galerkin_coarse_matrix(a: LinearOperator, q, block_map: BlockMap, layout: str = "flat"):
@@ -235,7 +238,7 @@ def galerkin_coarse_matrix(a: LinearOperator, q, block_map: BlockMap, layout: st
     quadruple OpenMP loop of 9 * nb * ne^2 individual fine SpMVs + dots
     (MG.h:206-278) and is exact (no 9-point truncation, no quirk-Q3 basis
     mixup); locality of A makes C block-9-point-sparse automatically."""
-    nb, bl, ne = q.shape
+    ne, nb, bl = q.shape
     zeros_nb = (
         cplx.CF(jnp.zeros((ne, nb, bl), q.dtype), jnp.zeros((ne, nb, bl), q.dtype))
         if cplx.is_cf(q)
@@ -244,7 +247,7 @@ def galerkin_coarse_matrix(a: LinearOperator, q, block_map: BlockMap, layout: st
     cols = []
     batch_apply = jax.jit(jax.vmap(a.apply))  # compiled once, reused per block
     for b in range(nb):
-        basis_blocked = zeros_nb.at[:, b, :].set(cplx.swapaxes(q[b], 0, 1))
+        basis_blocked = zeros_nb.at[:, b, :].set(q[:, b, :])
         basis = _from_blocked(block_map, basis_blocked, layout)  # (ne, fine...)
         ab = batch_apply(basis)  # (ne, fine...)
         cols.append(
@@ -277,13 +280,11 @@ def galerkin_coarse_blocks(
     measurements); single-block dimensions fold them into the diagonal —
     exactly the duplicate-stencil semantics of ``coarse_to_block_ell``.
     """
-    nb, bl, ne = q.shape
+    ne, nb, bl = q.shape
     bpd = block_map.blocks_per_dim
     ns = len(bpd)
     is_cf = cplx.is_cf(q)
     rdt = q.dtype if is_cf else None
-
-    batch_apply = jax.vmap(a.apply)
 
     def chi_for(p):
         grids = np.indices(bpd)
@@ -297,20 +298,33 @@ def galerkin_coarse_blocks(
             )
         return jnp.asarray(chi, _operator_dtype(a))
 
+    # one jitted probe: XLA plans the transient (ne, fine-lattice) buffers
+    # tightly instead of the eager op-by-op dispatch holding many live
+    # field stacks at once (OOM at 32^4). a_ and q_ are ARGUMENTS — closed
+    # over they would bake the gauge links / basis into the HLO as
+    # constants and overflow the tunneled backend's remote-compile request.
+    @jax.jit
+    def _measure_core(a_, q_, chi):
+        chi3 = (
+            chi.reshape((1, nb, 1)) if is_cf else chi[None, :, None]
+        )
+        basis = q_ * chi3  # (ne, nb, bl) — already the blocked field layout
+        field = _from_blocked(block_map, basis, layout)  # (ne, fine...)
+        ab = jax.vmap(a_.apply)(field)
+        rb = restrict(q_, block_map, ab, layout)  # (ne, nb * ne)
+        rbb = rb.reshape((ne, nb, ne))
+        chic = (
+            cplx.conj(chi).reshape((1, nb, 1))
+            if is_cf
+            else jnp.conj(chi)[None, :, None]
+        )
+        rbb = rbb * chic
+        return cplx.transpose(rbb, (1, 2, 0))  # (nb, f_row, e_col)
+
     def measure(p):
         """M_p[r; f, e] = sum_b chi_p(B_b) <phi_{r,f}, A phi_{b,e}>,
         un-phased by conj(chi_p(B_r)). Shape (nb, ne_row, ne_col)."""
-        chi = chi_for(p)
-        chi3 = chi.reshape((nb, 1, 1)) if is_cf else chi[:, None, None]
-        qb = q * chi3  # (nb, bl, ne)
-        basis = cplx.transpose(qb, (2, 0, 1))  # (ne, nb, bl)
-        field = _from_blocked(block_map, basis, layout)  # (ne, fine...)
-        ab = batch_apply(field)
-        rb = restrict(q, block_map, ab, layout)  # (ne, nb * ne)
-        rbb = rb.reshape((ne, nb, ne))
-        chic = cplx.conj(chi).reshape((1, nb, 1)) if is_cf else jnp.conj(chi)[None, :, None]
-        rbb = rbb * chic
-        return cplx.transpose(rbb, (1, 2, 0))  # (nb, f_row, e_col)
+        return _measure_core(a, q, chi_for(p))
 
     m0 = measure((0,) * ns)
     zero = cplx.zeros_like(m0)
@@ -432,7 +446,12 @@ def setup_mg(
     )
     doubled = chiral_double(vecs, mesh, layout, gamma5_fn)  # (2n, ...)
     block_map = mesh.blocking(block_extent)
-    q = block_orthonormalize(doubled, block_map, layout)  # (nb, bl, ne)
+    # jit the blocked orthonormalisation: eager dispatch holds many live
+    # (ne, fine-lattice) temporaries through the layout transpose + MGS
+    # sweeps and OOMs at 32^4; under jit XLA reuses the buffers
+    q = jax.jit(lambda v: block_orthonormalize(v, block_map, layout))(
+        doubled
+    )  # (nb, bl, ne)
     ne = 2 * params.n_nullvecs
     if params.assembly == "phased":
         blocks, table = galerkin_coarse_blocks(a, q, block_map, layout)

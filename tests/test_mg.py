@@ -54,9 +54,9 @@ def dirac44_ell_mod():
 def test_block_basis_orthonormal(mg_setup):
     """P^H P = I per block (MG.h:496-510)."""
     _, _, mgp = mg_setup
-    q = np.asarray(mgp.q)
-    gram = np.einsum("bke,bkf->bef", q.conj(), q)
-    eye = np.broadcast_to(np.eye(q.shape[2]), gram.shape)
+    q = np.asarray(mgp.q)  # (ne, nb, bl)
+    gram = np.einsum("ebk,fbk->bef", q.conj(), q)
+    eye = np.broadcast_to(np.eye(q.shape[0]), gram.shape)
     np.testing.assert_allclose(gram, eye, atol=1e-12)
 
 

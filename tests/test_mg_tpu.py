@@ -37,9 +37,9 @@ def test_setup_mg_tpu_layout_and_solve(tpu_problem):
     mgp = setup_mg(jax.random.PRNGKey(3), a_cf, mesh, params, layout="tpu")
 
     # basis orthonormality per block
-    q = cplx.to_numpy(mgp.q)
-    gram = np.einsum("bke,bkf->bef", q.conj(), q)
-    eye = np.broadcast_to(np.eye(q.shape[2]), gram.shape)
+    q = cplx.to_numpy(mgp.q)  # (ne, nb, bl)
+    gram = np.einsum("ebk,fbk->bef", q.conj(), q)
+    eye = np.broadcast_to(np.eye(q.shape[0]), gram.shape)
     np.testing.assert_allclose(gram, eye, atol=1e-10)
 
     # Galerkin consistency in the CF representation
@@ -78,8 +78,8 @@ def test_tpu_and_flat_mg_build_same_coarse_space(tpu_problem):
     q_flat = np.asarray(block_orthonormalize(doubled_flat, bm, "flat"))
     q_tpu = cplx.to_numpy(block_orthonormalize(doubled_tpu, bm, "tpu"))
     # projectors onto the per-block spans must agree regardless of basis
-    p_flat = np.einsum("bke,ble->bkl", q_flat, q_flat.conj())
-    p_tpu = np.einsum("bke,ble->bkl", q_tpu, q_tpu.conj())
+    p_flat = np.einsum("ebk,ebl->bkl", q_flat, q_flat.conj())
+    p_tpu = np.einsum("ebk,ebl->bkl", q_tpu, q_tpu.conj())
     np.testing.assert_allclose(p_flat, p_tpu, atol=1e-9)
 
 
