@@ -310,7 +310,10 @@ def galerkin_coarse_blocks(
         )
         basis = q_ * chi3  # (ne, nb, bl) — already the blocked field layout
         field = _from_blocked(block_map, basis, layout)  # (ne, fine...)
-        ab = jax.vmap(a_.apply)(field)
+        # sequential map, not vmap: vmapping the Pallas stencil batches
+        # its grid and the 32^4 compile blows up (>40 min through the
+        # tunnel); lax.map reuses the single-apply program ne times
+        ab = jax.lax.map(a_.apply, field)
         rb = restrict(q_, block_map, ab, layout)  # (ne, nb * ne)
         rbb = rb.reshape((ne, nb, ne))
         chic = (
