@@ -219,8 +219,12 @@ def block_orthonormalize(vecs, block_map: BlockMap, layout: str = "flat"):
     reference's per-block serial Gram--Schmidt (MG.h:190-198) — same
     column span, hence an equivalent coarse space. The basis keeps ne on
     a MAJOR axis: stored (nb, bl, ne) the TPU (8, 128) tiling pads
-    ne (~12) to 128 lanes — an ~11x memory expansion that OOMs at 32^4."""
-    blocked = _to_blocked(block_map, vecs, layout)  # (ne, nb, bl)
+    ne (~12) to 128 lanes — an ~11x memory expansion that OOMs at 32^4.
+    The blocking relayout itself runs per vector (lax.map) for the same
+    reason: its rank-10 transpose temp pads ~13x."""
+    blocked = jax.lax.map(
+        lambda v: _to_blocked(block_map, v, layout), vecs
+    )  # (ne, nb, bl)
     if blocked.shape[2] < blocked.shape[0]:
         raise ValueError("block_len smaller than number of coarse vectors")
     if cplx.is_cf(blocked):
@@ -309,13 +313,19 @@ def galerkin_coarse_blocks(
             chi.reshape((1, nb, 1)) if is_cf else chi[None, :, None]
         )
         basis = q_ * chi3  # (ne, nb, bl) — already the blocked field layout
-        field = _from_blocked(block_map, basis, layout)  # (ne, fine...)
-        # sequential map, not vmap: vmapping the Pallas stencil batches
-        # its grid and the 32^4 compile blows up (>40 min through the
-        # tunnel); lax.map reuses the single-apply program ne times
-        ab = jax.lax.map(a_.apply, field)
-        rb = restrict(q_, block_map, ab, layout)  # (ne, nb * ne)
-        rbb = rb.reshape((ne, nb, ne))
+
+        # per-vector pipeline under lax.map, for two reasons: (a) vmapping
+        # the Pallas stencil batches its grid and the 32^4 compile runs
+        # >40 min through the tunnel; (b) the blocked<->lattice relayout
+        # has a pad-hostile rank-10 transpose temp (~13x expansion — the
+        # batched (ne, ...) form OOMs 16 GB HBM at 32^4, the single-field
+        # form is ~1.2 GB)
+        def one(col):  # (nb, bl) -> (nb, ne) restricted A-image
+            f = _from_blocked(block_map, col, layout)
+            fb = _to_blocked(block_map, a_.apply(f), layout)
+            return cplx.einsum2("ebk,bk->be", cplx.conj(q_), fb)
+
+        rbb = jax.lax.map(one, basis)  # (ne, nb, ne)
         chic = (
             cplx.conj(chi).reshape((1, nb, 1))
             if is_cf
