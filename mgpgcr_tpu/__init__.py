@@ -33,7 +33,7 @@ from mgpgcr_tpu.ops.bsr import BlockSparseOperator
 from mgpgcr_tpu.ops.dirac import DiracOperator
 from mgpgcr_tpu.solvers.params import GCRParams, MGParams
 from mgpgcr_tpu.solvers.result import SolveResult
-from mgpgcr_tpu.solvers.gcr import gcr_solve, GCRSolver
+from mgpgcr_tpu.solvers.gcr import gcr_solve, gcr_solve_eager, GCRSolver
 from mgpgcr_tpu.solvers.mg import MGPreconditioner, setup_mg
 from mgpgcr_tpu.solvers.refine import refined_solve, wilson_refined_solve
 from mgpgcr_tpu.solvers.eigen import smallest_eigenpairs
@@ -60,6 +60,7 @@ __all__ = [
     "MGParams",
     "SolveResult",
     "gcr_solve",
+    "gcr_solve_eager",
     "GCRSolver",
     "MGPreconditioner",
     "setup_mg",

@@ -600,3 +600,85 @@ def gcr_solve_jit(
     return gcr_solve(
         a, rhs, params, precond=precond, x0=x0, left_precond=left_precond
     )
+
+
+def gcr_solve_eager(
+    a,
+    rhs,
+    params: GCRParams,
+    precond: Optional[Preconditioner] = None,
+    x0=None,
+) -> SolveResult:
+    """Host-orchestrated GCR: the outer iteration is a Python loop over
+    separately jitted operator / preconditioner applications.
+
+    Same mathematics as ``gcr_solve`` (restart mode; truncation follows
+    from storage_size like the ring buffer since retired directions are
+    dropped from the Python lists). Use for problems where jitting the
+    WHOLE preconditioned solve produces a program too large to compile in
+    one piece — e.g. MG-GCR at 32^4 exceeds the tunneled backend's
+    remote-compile limits, while each piece (Dslash, V-cycle) compiles
+    fine. Per-iteration host dispatch costs tens of microseconds to
+    milliseconds; negligible when one iteration moves gigabytes.
+
+    The residual check synchronises with the device every iteration (the
+    convergence decision is a host branch), which also gives live
+    progress for long solves."""
+    apply_a = a.apply if hasattr(a, "apply") else a
+    apply_a = jax.jit(apply_a)
+    apply_m = jax.jit(precond) if precond is not None else None
+    rdtype = cplx.real_dtype(rhs)
+
+    x = cplx.zeros_like(rhs) if x0 is None else x0
+    r = rhs - apply_a(x) if x0 is not None else rhs
+    bn2 = float(cplx.abs2_sum(rhs))
+    if bn2 == 0.0:
+        return SolveResult(
+            x=cplx.zeros_like(rhs),
+            converged=jnp.asarray(True),
+            n_iters=jnp.asarray(0, jnp.int32),
+            final_relres=jnp.asarray(0.0, rdtype),
+            res_history=jnp.zeros((1,), rdtype),
+        )
+    tol2 = params.tol**2 * bn2
+
+    ps, aps, norms = [], [], []
+    hist = [1.0 if x0 is None else float(cplx.abs2_sum(r)) / bn2]
+    it = 0
+    r2 = float(cplx.abs2_sum(r))
+    S = params.storage_size
+    ring = bool(params.truncation)
+    while r2 > tol2 and it < params.max_iter:
+        z = apply_m(r) if apply_m is not None else r
+        az = apply_a(z)
+        p, ap = z, az
+        for pj, apj, nj in zip(ps, aps, norms):
+            raw = cplx.vdot(apj, az)
+            beta = cplx.CF(raw.re / nj, raw.im / nj)
+            p = p - beta * pj
+            ap = ap - beta * apj
+        apn = float(cplx.abs2_sum(ap))
+        if apn == 0.0:
+            break  # stagnation: z in the span of stored directions
+        raw = cplx.vdot(ap, r)
+        alpha = cplx.CF(raw.re / apn, raw.im / apn)
+        x = x + alpha * p
+        r = r - alpha * ap
+        ps.append(p)
+        aps.append(ap)
+        norms.append(apn)
+        if ring and len(ps) > S:
+            ps.pop(0), aps.pop(0), norms.pop(0)
+        elif not ring and len(ps) >= S:
+            ps, aps, norms = [], [], []
+        it += 1
+        r2 = float(cplx.abs2_sum(r))
+        hist.append(r2 / bn2)
+
+    return SolveResult(
+        x=x,
+        converged=jnp.asarray(r2 <= tol2),
+        n_iters=jnp.asarray(it, jnp.int32),
+        final_relres=jnp.asarray((r2 / bn2) ** 0.5, rdtype),
+        res_history=jnp.sqrt(jnp.asarray(hist, rdtype)),
+    )

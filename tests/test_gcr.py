@@ -274,3 +274,31 @@ def test_gcr_left_precond_composes_with_right():
     assert bool(res.converged)
     r = b - a @ np.asarray(res.x)
     assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-8
+
+
+def test_eager_solver_matches_jitted():
+    """gcr_solve_eager (host-orchestrated outer loop for problems whose
+    whole-solve jit is too large to compile) reproduces gcr_solve."""
+    import jax
+    import jax.numpy as jnp
+
+    from mgpgcr_tpu import cplx
+    from mgpgcr_tpu.mesh import LatticeMesh
+    from mgpgcr_tpu.ops.dirac import DiracOperator
+    from mgpgcr_tpu.ops.wilson import random_links_cf
+    from mgpgcr_tpu.ops.wilson_tpu import TpuWilsonDirac
+    from mgpgcr_tpu.solvers.gcr import gcr_solve, gcr_solve_eager
+
+    mesh = LatticeMesh((4, 4, 2, 4, 4, 3))
+    links = random_links_cf(11, mesh, jnp.float32)
+    d = TpuWilsonDirac.build(links, mesh)
+    a = DiracOperator(d, cplx.from_scalar(0.12, jnp.float32))
+    b = cplx.random(jax.random.PRNGKey(5), d.field_shape, jnp.float32)
+    p = GCRParams(tol=1e-6, max_iter=200, restart=5)
+    e = gcr_solve_eager(a, b, p)
+    g = gcr_solve(a, b, p)
+    assert int(e.n_iters) == int(g.n_iters)
+    assert bool(e.converged)
+    r = b - a.apply(e.x)
+    rel = float(jnp.sqrt(cplx.abs2_sum(r) / cplx.abs2_sum(b)))
+    assert rel < 2e-6
