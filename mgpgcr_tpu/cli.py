@@ -105,7 +105,7 @@ def build_problem(pc, jax):
 
 def _solve_once(cfg, jax, logger):
     from mgpgcr_tpu import cplx
-    from mgpgcr_tpu.solvers.gcr import gcr_solve
+    from mgpgcr_tpu.solvers.gcr import gcr_solve, gcr_solve_eager
     from mgpgcr_tpu.solvers.mg import setup_mg
     from mgpgcr_tpu.utils.logging import Timer
 
@@ -132,8 +132,9 @@ def _solve_once(cfg, jax, logger):
             Timer.block_on(jax.tree_util.tree_leaves(mgp.coarse))
         precond = mgp.apply
         setup_s = t.elapsed
+    solve_fn = gcr_solve_eager if getattr(cfg, "eager", False) else gcr_solve
     with Timer(logger, "solve") as t:
-        res = gcr_solve(a, rhs, cfg.gcr, precond=precond)
+        res = solve_fn(a, rhs, cfg.gcr, precond=precond)
         Timer.block_on(jax.tree_util.tree_leaves(res.x))
     out = {
         "converged": bool(res.converged),
@@ -349,6 +350,7 @@ def _config_from_args(args):
         problem=pc,
         gcr=gcr,
         mg=mg,
+        eager=bool(getattr(args, "eager", False)) or cfg.eager,
         trace=getattr(args, "trace", None) or cfg.trace,
         log=getattr(args, "log", None) or cfg.log,
     )
@@ -377,6 +379,12 @@ def _add_common(p):
         help="recompute true residual every N iterations (f32 deep solves)",
     )
     p.add_argument("--mg", action="store_true", help="enable MG preconditioner")
+    p.add_argument(
+        "--eager",
+        action="store_true",
+        help="host-orchestrated outer GCR loop (for problem sizes whose "
+        "whole-solve jit is too large to compile in one piece)",
+    )
     p.add_argument("--block", type=int, help="MG spacetime block extent")
     p.add_argument("--nullvecs", type=int, help="MG near-null vectors (pre-doubling)")
     p.add_argument("--n-level", dest="n_level", type=int, help="MG levels (2 = two-level)")

@@ -33,6 +33,8 @@ class RunConfig:
     problem: ProblemConfig = field(default_factory=ProblemConfig)
     gcr: GCRParams = field(default_factory=lambda: GCRParams(tol=1e-11, max_iter=4000, restart=5))
     mg: Optional[MGParams] = None  # None = unpreconditioned
+    eager: bool = False  # host-orchestrated outer loop (gcr_solve_eager):
+    # for problem sizes whose whole-solve jit is too large to compile
     trace: Optional[str] = None  # residual trace artifact path
     log: Optional[str] = None  # JSON-lines run log path
 
