@@ -27,7 +27,10 @@ from mgpgcr_tpu.ops.dense import DenseOperator
 from mgpgcr_tpu.solvers.mg import MGPreconditioner
 from mgpgcr_tpu.solvers.params import GCRParams, MGParams
 
-_FORMAT_VERSION = 1
+# bumped 1 -> 2 when the block basis layout changed from (nb, bl, ne) to
+# (ne, nb, bl) (the ne-minor form pads ~11x under TPU tiling); version-1
+# checkpoints are rejected rather than silently misinterpreted
+_FORMAT_VERSION = 2
 
 
 def _params_to_dict(p):
