@@ -75,8 +75,14 @@ class MGParams:
     # unpreconditioned vs 278 for smoother-less coarse deflation. Set to
     # None for the reference's smoother-off config (additive coarse-grid
     # deflation M = I + P C^-1 P^H is then used, see solvers/mg.py).
+    # restart=4 with max_iter=4 is behaviourally identical to the old
+    # truncation=4 default (neither wipe nor ring eviction triggers within
+    # 4 iterations) but routes CF smooths through the fused cycle-unrolled
+    # kernels (and the one-pass step when A is the streaming Pallas op)
     smoother_gcr: GCRParams | None = field(
-        default_factory=lambda: GCRParams(tol=0.0, max_iter=4, truncation=4)
+        default_factory=lambda: GCRParams(
+            tol=0.0, max_iter=4, restart=4, fused=True
+        )
     )
     n_pre_smooth: int = 1
     n_post_smooth: int = 1
