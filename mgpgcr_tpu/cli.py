@@ -83,20 +83,28 @@ def build_problem(pc, jax):
     mesh = LatticeMesh((*dims, 4, 3))
     key = jax.random.PRNGKey(pc.seed)
     if cf:
-        from mgpgcr_tpu.ops.wilson import random_links_cf
+        from mgpgcr_tpu.ops.wilson import antiperiodic_t, random_links_cf
         from mgpgcr_tpu.ops.wilson_tpu import TpuWilsonDirac
         from mgpgcr_tpu.ops.pallas.dslash import PallasWilsonDirac
 
         links = random_links_cf(pc.seed, mesh, dtype=rdt)
+        if getattr(pc, "antiperiodic", False):
+            links = antiperiodic_t(links)
         on_tpu = jax.devices()[0].platform == "tpu"
         op_cls = PallasWilsonDirac if on_tpu else TpuWilsonDirac
         d = op_cls.build(links, mesh)
         a = DiracOperator(d, cplx.from_scalar(pc.k, rdt))
         rhs = cplx.random(jax.random.PRNGKey(pc.seed + 1), d.field_shape, rdt)
         return a, mesh, rhs, cplx.to_numpy
-    from mgpgcr_tpu.ops.wilson import WilsonDiracOperator, random_links
+    from mgpgcr_tpu.ops.wilson import (
+        WilsonDiracOperator,
+        antiperiodic_t,
+        random_links,
+    )
 
     links = random_links(key, mesh, dtype=cdt)
+    if getattr(pc, "antiperiodic", False):
+        links = antiperiodic_t(links)
     d = WilsonDiracOperator(links, mesh)
     a = DiracOperator(d, jnp.asarray(pc.k, cdt))
     rhs = fields.random_field(jax.random.PRNGKey(pc.seed + 1), mesh, cdt)
@@ -293,6 +301,8 @@ def _config_from_args(args):
         pc = dataclasses.replace(pc, dtype=args.dtype)
     if getattr(args, "seed", None) is not None:
         pc = dataclasses.replace(pc, seed=args.seed)
+    if getattr(args, "antiperiodic", False):
+        pc = dataclasses.replace(pc, antiperiodic=True)
     gcr = cfg.gcr
     if getattr(args, "tol", None) is not None:
         gcr = dataclasses.replace(gcr, tol=args.tol)
@@ -379,6 +389,11 @@ def _add_common(p):
         help="recompute true residual every N iterations (f32 deep solves)",
     )
     p.add_argument("--mg", action="store_true", help="enable MG preconditioner")
+    p.add_argument(
+        "--antiperiodic",
+        action="store_true",
+        help="anti-periodic temporal BC for synthetic lattice problems",
+    )
     p.add_argument(
         "--eager",
         action="store_true",

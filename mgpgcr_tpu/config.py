@@ -26,6 +26,7 @@ class ProblemConfig:
     k: float = 0.1  # hopping parameter in A = I - kD
     seed: int = 0
     dtype: str = "complex128"  # complex128 | complex64 | cf32 | cf64
+    antiperiodic: bool = False  # anti-periodic temporal BC (synthetic only)
 
 
 @dataclass(frozen=True)
