@@ -47,6 +47,12 @@ def main() -> int:
     ap.add_argument("--nullvecs", type=int, default=6)
     ap.add_argument("--platform", help="force jax platform")
     ap.add_argument(
+        "--eager",
+        action="store_true",
+        help="host-orchestrated outer GCR (for sizes whose whole-solve "
+        "jit exceeds compile limits, e.g. 32^4 MG)",
+    )
+    ap.add_argument(
         "--refine-tol",
         type=float,
         help="also run mixed-precision refinement to this true complex128 "
@@ -65,8 +71,13 @@ def main() -> int:
     rhs = cplx.random(jax.random.PRNGKey(7), d.field_shape, jnp.float32)
 
     def timed_solve(precond, max_iter):
+        from mgpgcr_tpu.solvers.gcr import gcr_solve_eager
+
         params = GCRParams(tol=args.tol, max_iter=max_iter, restart=5)
-        solve = jax.jit(lambda a, b: gcr_solve(a, b, params, precond=precond))
+        if args.eager:
+            solve = lambda a, b: gcr_solve_eager(a, b, params, precond=precond)  # noqa: E731
+        else:
+            solve = jax.jit(lambda a, b: gcr_solve(a, b, params, precond=precond))
         res = solve(a, rhs)
         float(res.final_relres)  # warm-up incl. first-sync stall
         t0 = time.perf_counter()
