@@ -18,6 +18,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
+from mgpgcr_tpu import cplx
 from mgpgcr_tpu.ops.base import LinearOperator, operator_dataclass
 
 
@@ -44,12 +45,14 @@ class BlockSparseOperator(LinearOperator):
 
         Per block-row r: y_r = sum_k blocks[r, k] @ x[block_cols[r, k]]
         (HierarchicalSparse.h:102-161, as one einsum instead of an OpenMP
-        loop of virtual dense matvecs)."""
+        loop of virtual dense matvecs). Representation-generic: blocks and
+        x may each be native complex arrays or split re/im ``cplx.CF``
+        pairs (the TPU path — solvers/mg.py builds CF blocks there)."""
         nb, ne = self.n_block_rows, self.block_size
         lead = x.shape[:-1]
         xb = x.reshape(lead + (nb, ne))
         gathered = xb[..., self.block_cols, :]  # (..., nb, K, ne)
-        yb = jnp.einsum("rkij,...rkj->...ri", self.blocks, gathered)
+        yb = cplx.einsum2("rkij,...rkj->...ri", self.blocks, gathered)
         return yb.reshape(lead + (nb * ne,))
 
     def val_at(self, row: int, col: int):
@@ -62,13 +65,21 @@ class BlockSparseOperator(LinearOperator):
         total = 0.0 + 0.0j
         for k, c in enumerate(cols):
             if int(c) == bc:
-                total += complex(self.blocks[br, k, bi, bj])
+                b = self.blocks[br, k, bi, bj]
+                if cplx.is_cf(b):
+                    total += complex(float(b.re), float(b.im))
+                else:
+                    total += complex(b)
         return total
 
     def to_dense(self) -> jnp.ndarray:
         nb, k, ne, _ = self.blocks.shape
         n = nb * ne
-        dense = jnp.zeros((n, n), dtype=self.blocks.dtype)
+        if cplx.is_cf(self.blocks):
+            z = jnp.zeros((n, n), dtype=self.blocks.dtype)
+            dense = cplx.CF(z, z)
+        else:
+            dense = jnp.zeros((n, n), dtype=self.blocks.dtype)
         for r in range(nb):
             for kk in range(k):
                 c = int(self.block_cols[r, kk])

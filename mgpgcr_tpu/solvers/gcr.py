@@ -284,16 +284,23 @@ def _gcr_solve_fused(a, rhs, params: GCRParams, precond, x0) -> SolveResult:
         # kernels specialised per prefix length so K2/K3 only stream the
         # live rows — at restart R the live count cycles 1..R, so reading
         # the full stack every iteration would move ~2x the bytes.
+        # Specialisation is capped at 16 prefix lengths (matching the
+        # cycles-path threshold): beyond that the ~2*S traced kernel
+        # variants blow up compile time / HLO size (the tunnelled backend
+        # rejects oversized programs), so large stacks stream whole.
         lim = jnp.clip(count, 1, S)
-        raw = jax.lax.switch(
-            lim - 1,
-            [
-                (lambda k: lambda aps_, az_: gk.beta_dots(aps_, az_, lim=k))(k)
-                for k in range(1, S + 1)
-            ],
-            aps,
-            az,
-        )
+        if S <= 16:
+            raw = jax.lax.switch(
+                lim - 1,
+                [
+                    (lambda k: lambda aps_, az_: gk.beta_dots(aps_, az_, lim=k))(k)
+                    for k in range(1, S + 1)
+                ],
+                aps,
+                az,
+            )
+        else:
+            raw = gk.beta_dots(aps, az)
         betas = cplx.where(
             ap_norms > 0,
             _div_real(raw, ap_norms.astype(raw.dtype), rdtype),
@@ -309,18 +316,25 @@ def _gcr_solve_fused(a, rhs, params: GCRParams, precond, x0) -> SolveResult:
         # window instead of streaming the residual a second time
         r_arg = r if precond is not None else None
         slot = (count % S).astype(jnp.int32)
-        ps, aps, apn, apr = jax.lax.switch(
-            lim - 1,
-            [
-                (
-                    lambda k: lambda z_, az_, r_, ps_, aps_, b_, sl_: (
-                        gk.dir_update(z_, az_, r_, ps_, aps_, b_, sl_, lim=k)
-                    )
-                )(k)
-                for k in range(1, S + 1)
-            ],
-            z, az, r_arg, ps, aps, betas, slot,
-        )
+        if S <= 16:
+            ps, aps, apn, apr = jax.lax.switch(
+                lim - 1,
+                [
+                    (
+                        lambda k: lambda z_, az_, r_, ps_, aps_, b_, sl_: (
+                            gk.dir_update(z_, az_, r_, ps_, aps_, b_, sl_, lim=k)
+                        )
+                    )(k)
+                    for k in range(1, S + 1)
+                ],
+                z, az, r_arg, ps, aps, betas, slot,
+            )
+        else:
+            # full-stack kernel: betas are zero-masked beyond the live
+            # prefix, so the correction sum is unchanged
+            ps, aps, apn, apr = gk.dir_update(
+                z, az, r_arg, ps, aps, betas, slot, lim=S
+            )
         apn = apn.astype(rdtype)
         ap_norms = ap_norms.at[slot].set(apn)
 
@@ -370,6 +384,10 @@ def _mega_step_config(a, precond):
     if not isinstance(d, PallasWilsonDirac) or not cplx.is_cf(a.k):
         return None
     if not _links_is_tmajor(d.links):
+        return None
+    if d.anti_t:  # the one-pass kernel has no in-kernel BC path (yet)
+        return None
+    if d.device_mesh is not None:  # mega step is single-shard only
         return None
     t, z, y, xx = d.mesh.spacetime_dims
     if d.tb not in (None, 1) or d.zb not in (None, z) or t < 2:
@@ -648,6 +666,7 @@ def gcr_solve_eager(
     r2 = float(cplx.abs2_sum(r))
     S = params.storage_size
     ring = bool(params.truncation)
+    restart = params.restart if params.restart else params.max_iter + 1
     while r2 > tol2 and it < params.max_iter:
         z = apply_m(r) if apply_m is not None else r
         az = apply_a(z)
@@ -669,8 +688,13 @@ def gcr_solve_eager(
         norms.append(apn)
         if ring and len(ps) > S:
             ps.pop(0), aps.pop(0), norms.pop(0)
-        elif not ring and len(ps) >= S:
-            ps, aps, norms = [], [], []
+        elif not ring and it > 0 and it % restart == 0:
+            # restart boundary: wipe the stack but KEEP the just-built
+            # beta-corrected direction (the device path stores it in ring
+            # slot 0 after the wipe, matching GCR.h:277-287); wiping it too
+            # would start the next cycle from raw z and the trajectories
+            # would diverge from gcr_solve at iteration restart+1
+            ps, aps, norms = [p], [ap], [apn]
         it += 1
         r2 = float(cplx.abs2_sum(r))
         hist.append(r2 / bn2)

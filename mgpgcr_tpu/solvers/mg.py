@@ -464,7 +464,7 @@ def setup_mg(
     # sweeps and OOMs at 32^4; under jit XLA reuses the buffers
     q = jax.jit(lambda v: block_orthonormalize(v, block_map, layout))(
         doubled
-    )  # (nb, bl, ne)
+    )  # (ne, nb, bl)
     ne = 2 * params.n_nullvecs
     if params.assembly == "phased":
         blocks, table = galerkin_coarse_blocks(a, q, block_map, layout)

@@ -74,6 +74,57 @@ def test_gamma5_hermiticity_preserved():
     assert err < 1e-12
 
 
+def test_in_kernel_bc_composes_with_compression():
+    """build(antiperiodic_t=True) keeps pristine SU(3) links and applies
+    the boundary sign in-kernel, so two-row compression composes — the
+    combination the link-flip formulation silently corrupts (round-2
+    VERDICT item 6)."""
+    mesh = LatticeMesh(DIMS)
+    links = random_links(jax.random.PRNGKey(0), mesh)  # pristine SU(3)
+    psi = fields.random_field(jax.random.PRNGKey(1), mesh)
+    ref = WilsonDiracOperator(antiperiodic_t(links), mesh).apply(psi)
+    ref_t = field_to_tpu(cplx.ascf(ref, jnp.float64), mesh)
+    psi_t = field_to_tpu(cplx.ascf(psi, jnp.float64), mesh)
+
+    op = PallasWilsonDirac.build(
+        cplx.ascf(links, jnp.float64), mesh, interpret=True,
+        antiperiodic_t=True,
+    )
+    np.testing.assert_allclose(
+        cplx.to_numpy(op.apply(psi_t)), cplx.to_numpy(ref_t), atol=1e-12
+    )
+    # ... and WITH two-row compression: exact for pristine SU(3) storage
+    op_c = op.with_compressed_links()
+    np.testing.assert_allclose(
+        cplx.to_numpy(op_c.apply(psi_t)), cplx.to_numpy(ref_t), atol=1e-10
+    )
+    # fused A = I - kD keeps the BC too
+    k = cplx.from_scalar(0.11, jnp.float64)
+    a_ref = cplx.to_numpy(psi_t) - 0.11 * cplx.to_numpy(ref_t)
+    np.testing.assert_allclose(
+        cplx.to_numpy(op_c.apply_dirac(psi_t, k)), a_ref, atol=1e-10
+    )
+
+
+def test_compression_guard_rejects_flipped_links():
+    """Pre-flipped anti-periodic links (det = -1 on the boundary) must be
+    REFUSED by two-row compression, not silently corrupted (round-2
+    advisor finding)."""
+    import pytest
+
+    mesh = LatticeMesh(DIMS)
+    links = antiperiodic_t(random_links(jax.random.PRNGKey(0), mesh))
+    op = PallasWilsonDirac.build(cplx.ascf(links, jnp.float64), mesh,
+                                 interpret=True)
+    with pytest.raises(ValueError, match="SU\\(3\\)"):
+        op.with_compressed_links()
+    with pytest.raises(ValueError, match="SU\\(3\\)"):
+        PallasWilsonDirac.build(
+            cplx.ascf(links, jnp.float64), mesh, interpret=True,
+            compress=True,
+        )
+
+
 def test_tpu_and_pallas_paths_inherit_bc():
     """The same link map gives matching operators on every path."""
     mesh = LatticeMesh(DIMS)

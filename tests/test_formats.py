@@ -122,6 +122,34 @@ def test_bsr_apply_matches_dense(rng):
     assert abs(op.val_at(0, 0) - dense[0, 0]) < 1e-12
 
 
+def test_bsr_apply_cf_blocks(rng):
+    """Split re/im CF blocks + CF fields — the TPU path solvers/mg.py
+    builds (round-2 VERDICT reproducer: einsum on CF blocks crashed)."""
+    from mgpgcr_tpu import cplx
+
+    nb, k, ne = 4, 3, 5
+    blocks = rng.standard_normal((nb, k, ne, ne)) + 1j * rng.standard_normal(
+        (nb, k, ne, ne)
+    )
+    cols = rng.integers(0, nb, size=(nb, k)).astype(np.int32)
+    op = BlockSparseOperator(
+        cplx.from_numpy(blocks, jnp.float64), jnp.asarray(cols)
+    )
+    x = rng.standard_normal(nb * ne) + 1j * rng.standard_normal(nb * ne)
+    dense = cplx.to_numpy(op.to_dense())
+    got = op.apply(cplx.from_numpy(x, jnp.float64))
+    np.testing.assert_allclose(cplx.to_numpy(got), dense @ x, atol=1e-12)
+    assert abs(op.val_at(2, 3) - dense[2, 3]) < 1e-12
+    # batched leading axis, as the coarse GCR stacks use
+    xb = rng.standard_normal((2, nb * ne)) + 1j * rng.standard_normal(
+        (2, nb * ne)
+    )
+    got_b = op.apply(cplx.from_numpy(xb, jnp.float64))
+    np.testing.assert_allclose(
+        cplx.to_numpy(got_b), xb @ dense.T, atol=1e-12
+    )
+
+
 def test_dirac_operator(rng):
     a = _rand_sparse(rng, 24)
     ell = CSRMatrix.from_dense(a).to_ell()

@@ -302,3 +302,13 @@ def test_eager_solver_matches_jitted():
     r = b - a.apply(e.x)
     rel = float(jnp.sqrt(cplx.abs2_sum(r) / cplx.abs2_sum(b)))
     assert rel < 2e-6
+    # full residual-trajectory parity, in particular THROUGH the restart
+    # boundaries: the device path keeps the just-built beta-corrected
+    # direction when it wipes the stack (GCR.h:277-287), and the eager loop
+    # must match (round-2 advisor finding: histories split at restart+1)
+    n = int(g.n_iters) + 1
+    np.testing.assert_allclose(
+        np.asarray(e.res_history[:n]),
+        np.asarray(g.res_history[:n]),
+        rtol=2e-4,
+    )

@@ -236,6 +236,79 @@ def test_distributed_mg_gcr_tpu_layout(small_problem):
     assert rel < 2e-7
 
 
+def test_sharded_pallas_streaming_kernel_matches(small_problem):
+    """The PRODUCTION Pallas streaming Dslash under shard_map (ghost-plane
+    halo exchange, ops/pallas/dslash_dist.py) == single-device kernel.
+    Round-2 VERDICT item 1: multi-chip solves must keep the fast kernel."""
+    from mgpgcr_tpu import cplx
+    from mgpgcr_tpu.ops.pallas.dslash import PallasWilsonDirac
+    from mgpgcr_tpu.ops.wilson_tpu import field_to_tpu
+
+    mesh, links, psi = small_problem
+    links_cf = cplx.ascf(links, jnp.float64)
+    psi_t = field_to_tpu(cplx.ascf(psi, jnp.float64), mesh)
+    ref = PallasWilsonDirac.build(links_cf, mesh, interpret=True).apply(psi_t)
+
+    for axes, sizes, kw in (
+        (("t", "z"), (4, 2), dict(axis_t="t", axis_z="z")),
+        (("t", "z"), (2, 4), dict(axis_t="t", axis_z="z")),
+        (("t",), (4,), dict(axis_t="t", axis_z=None)),
+        (("z",), (4,), dict(axis_t=None, axis_z="z")),
+    ):
+        dmesh = make_lattice_device_mesh(
+            int(np.prod(sizes)), axis_names=axes, axis_sizes=sizes
+        )
+        op = PallasWilsonDirac.build_sharded(
+            links_cf, mesh, dmesh, interpret=True, **kw
+        )
+        got = jax.jit(lambda o, x: o.apply(x))(op, op.shard_field(psi_t))
+        np.testing.assert_allclose(
+            cplx.to_numpy(got), cplx.to_numpy(ref), atol=1e-12,
+            err_msg=f"axes={axes} sizes={sizes}",
+        )
+        # fused A = I - k D through the same sharded kernel
+        k = cplx.from_scalar(0.13, jnp.float64)
+        got_a = jax.jit(lambda o, x, kk: o.apply_dirac(x, kk))(
+            op, op.shard_field(psi_t), k
+        )
+        ref_a = psi_t - k * ref
+        np.testing.assert_allclose(
+            cplx.to_numpy(got_a), cplx.to_numpy(ref_a), atol=1e-12,
+            err_msg=f"fused axes={axes} sizes={sizes}",
+        )
+
+
+def test_sharded_pallas_antiperiodic_and_compression(small_problem):
+    """Anti-periodic BC sign riding the exchanged ghost planes + two-row
+    link compression, under the sharded streaming kernel."""
+    from mgpgcr_tpu import cplx
+    from mgpgcr_tpu.ops.pallas.dslash import PallasWilsonDirac
+    from mgpgcr_tpu.ops.wilson import antiperiodic_t
+    from mgpgcr_tpu.ops.wilson_tpu import field_to_tpu
+
+    mesh, links, psi = small_problem
+    links_cf = cplx.ascf(links, jnp.float64)
+    psi_t = field_to_tpu(cplx.ascf(psi, jnp.float64), mesh)
+    ref = mesh.to_lattice(
+        WilsonDiracOperator(antiperiodic_t(links), mesh).apply(
+            mesh.to_flat(psi)
+        )
+    )
+    ref_t = field_to_tpu(cplx.ascf(ref, jnp.float64), mesh)
+
+    dmesh = make_lattice_device_mesh(
+        8, axis_names=("t", "z"), axis_sizes=(4, 2)
+    )
+    op = PallasWilsonDirac.build_sharded(
+        links_cf, mesh, dmesh, axis_t="t", axis_z="z",
+        antiperiodic_t=True, compress=True, interpret=True,
+    )
+    got = jax.jit(lambda o, x: o.apply(x))(op, op.shard_field(psi_t))
+    np.testing.assert_allclose(
+        cplx.to_numpy(got), cplx.to_numpy(ref_t), atol=1e-10
+    )
+
+
 def test_dist_config_from_env(monkeypatch):
     from mgpgcr_tpu.parallel.dist import config_from_env
 
