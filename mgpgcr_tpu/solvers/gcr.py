@@ -58,6 +58,17 @@ def _div_real(num, den, rdtype):
     return cplx.scale_real(num, 1.0 / jnp.maximum(den, _tiny(rdtype)))
 
 
+def _allsum(v, axis_names):
+    """Global reduction of a per-shard partial (scalar / (S,) stack dots /
+    CF pairs) over the named device-mesh axes; identity when unsharded.
+    Inside ``shard_map`` every reduction in this module is a LOCAL partial
+    — these psums are the only cross-device traffic of an iteration beyond
+    the operator's halo exchange (a few scalars each)."""
+    if not axis_names:
+        return v
+    return jax.lax.psum(v, axis_names)
+
+
 def gcr_solve(
     a,
     rhs,
@@ -66,6 +77,7 @@ def gcr_solve(
     x0=None,
     fused: bool | None = None,
     left_precond: Optional[Preconditioner] = None,
+    axis_names: tuple = (),
 ) -> SolveResult:
     """Solve A x = rhs with flexible GCR. Jit-compatible (params/precond
     static); nests cleanly inside other jitted solvers.
@@ -83,7 +95,14 @@ def gcr_solve(
     fused=True routes the iteration algebra through the fused Pallas
     streaming kernels (ops/pallas/gcr_kernels.py) — split re/im (CF)
     fields only; identical semantics, ~2x fewer HBM passes per iteration.
-    Default: ``params.fused``."""
+    Default: ``params.fused``.
+
+    ``axis_names`` (static): device-mesh axes to ``psum`` every scalar
+    reduction over — set when this solver runs INSIDE ``shard_map`` on
+    domain-decomposed shards (the distributed driver ``gcr_solve_sharded``
+    does this; fields/operators are then per-shard locals). Empty outside
+    shard_map — under plain GSPMD sharding the reductions lower to psums
+    automatically."""
     if left_precond is not None:
         base_apply = a.apply if hasattr(a, "apply") else a
         a = lambda v: left_precond(base_apply(v))  # noqa: E731
@@ -91,7 +110,7 @@ def gcr_solve(
     if fused is None:
         fused = params.fused
     if fused and cplx.is_cf(rhs):
-        return _gcr_solve_fused(a, rhs, params, precond, x0)
+        return _gcr_solve_fused(a, rhs, params, precond, x0, axis_names)
     apply_a = a.apply if hasattr(a, "apply") else a
     rdtype = cplx.real_dtype(rhs)
     S = params.storage_size
@@ -101,7 +120,7 @@ def gcr_solve(
     x = cplx.zeros_like(rhs) if x0 is None else x0
     r = rhs - apply_a(x) if x0 is not None else rhs
 
-    rhs_norm2 = cplx.abs2_sum(rhs).astype(rdtype)
+    rhs_norm2 = _allsum(cplx.abs2_sum(rhs).astype(rdtype), axis_names)
     rhs_norm2_safe = jnp.maximum(rhs_norm2, jnp.asarray(0, rdtype))
 
     z = precond(r) if precond is not None else r
@@ -110,9 +129,11 @@ def gcr_solve(
 
     ps = cplx.stack_zeros(S, p).at[0].set(p)
     aps = cplx.stack_zeros(S, ap).at[0].set(ap)
-    ap_norms = jnp.zeros((S,), rdtype).at[0].set(cplx.abs2_sum(ap).astype(rdtype))
+    ap_norms = jnp.zeros((S,), rdtype).at[0].set(
+        _allsum(cplx.abs2_sum(ap).astype(rdtype), axis_names)
+    )
 
-    r2_0 = cplx.abs2_sum(r).astype(rdtype)
+    r2_0 = _allsum(cplx.abs2_sum(r).astype(rdtype), axis_names)
     hist = jnp.full((max_iter + 1,), jnp.nan, rdtype)
     hist = hist.at[0].set(jnp.sqrt(r2_0 / jnp.maximum(rhs_norm2_safe, _tiny(rdtype))))
 
@@ -127,8 +148,8 @@ def gcr_solve(
         it = it + 1
         count = count + 1
 
-        ap2 = cplx.abs2_sum(ap).astype(rdtype)
-        alpha = _div_real(cplx.vdot(ap, r), ap2, rdtype)
+        ap2 = _allsum(cplx.abs2_sum(ap).astype(rdtype), axis_names)
+        alpha = _div_real(_allsum(cplx.vdot(ap, r), axis_names), ap2, rdtype)
         x = x + alpha * p
         r = r - alpha * ap
         if params.residual_refresh:
@@ -139,7 +160,7 @@ def gcr_solve(
                 x,
                 r,
             )
-        r2 = cplx.abs2_sum(r).astype(rdtype)
+        r2 = _allsum(cplx.abs2_sum(r).astype(rdtype), axis_names)
         hist = hist.at[it].set(
             jnp.sqrt(r2 / jnp.maximum(rhs_norm2_safe, _tiny(rdtype)))
         )
@@ -149,7 +170,7 @@ def gcr_solve(
 
         # beta corrections against all stored directions at once:
         # beta_j = <Ap_j, Az> / ||Ap_j||^2, masked where the slot is empty.
-        raw = cplx.conj_contract_stack(aps, az)
+        raw = _allsum(cplx.conj_contract_stack(aps, az), axis_names)
         betas = cplx.where(
             ap_norms > 0,
             _div_real(raw, ap_norms, rdtype),
@@ -171,7 +192,9 @@ def gcr_solve(
         slot = count % S
         ps = ps.at[slot].set(p)
         aps = aps.at[slot].set(ap)
-        ap_norms = ap_norms.at[slot].set(cplx.abs2_sum(ap).astype(rdtype))
+        ap_norms = ap_norms.at[slot].set(
+            _allsum(cplx.abs2_sum(ap).astype(rdtype), axis_names)
+        )
 
         return (x, r, p, ap, ps, aps, ap_norms, count, it, r2, hist)
 
@@ -203,13 +226,19 @@ def gcr_solve(
     )
 
 
-def _gcr_solve_fused(a, rhs, params: GCRParams, precond, x0) -> SolveResult:
+def _gcr_solve_fused(
+    a, rhs, params: GCRParams, precond, x0, axis_names: tuple = ()
+) -> SolveResult:
     """Fused-kernel GCR body: same mathematics and direction management as
     the generic path above, but each iteration's field algebra runs as
     three Pallas streaming passes (K1 x/r update + ||r||^2, K2 beta dots,
     K3 direction update written in place into the stack slot, which also
     produces next iteration's <Ap, r> and ||Ap||^2 so no standalone dot
-    passes remain). Reference loop being fused: GCR.h:222-288."""
+    passes remain). Reference loop being fused: GCR.h:222-288.
+
+    With ``axis_names`` the kernels run on the local shard inside
+    ``shard_map`` and their SMEM scalar outputs are psummed — the fused
+    iteration distributes at single-shard kernel speed."""
     from mgpgcr_tpu.ops.pallas import gcr_kernels as gk
 
     # restart mode compiles to the cycle-unrolled body: static slots/prefix
@@ -218,7 +247,7 @@ def _gcr_solve_fused(a, rhs, params: GCRParams, precond, x0) -> SolveResult:
     # to +6 ms/iter at 32^4) plus deferred-x accumulation. Truncation mode
     # and residual_refresh keep the dynamic single-loop form below.
     if params.restart and not params.residual_refresh and params.restart <= 16:
-        return _gcr_solve_fused_cycles(a, rhs, params, precond, x0)
+        return _gcr_solve_fused_cycles(a, rhs, params, precond, x0, axis_names)
 
     apply_a = a.apply if hasattr(a, "apply") else a
     rdtype = cplx.real_dtype(rhs)
@@ -229,7 +258,7 @@ def _gcr_solve_fused(a, rhs, params: GCRParams, precond, x0) -> SolveResult:
     x = cplx.zeros_like(rhs) if x0 is None else x0
     r = rhs - apply_a(x) if x0 is not None else rhs
 
-    rhs_norm2 = cplx.abs2_sum(rhs).astype(rdtype)
+    rhs_norm2 = _allsum(cplx.abs2_sum(rhs).astype(rdtype), axis_names)
     rhs_norm2_safe = jnp.maximum(rhs_norm2, jnp.asarray(0, rdtype))
 
     z = precond(r) if precond is not None else r
@@ -238,11 +267,11 @@ def _gcr_solve_fused(a, rhs, params: GCRParams, precond, x0) -> SolveResult:
 
     ps = cplx.stack_zeros(S, p).at[0].set(p)
     aps = cplx.stack_zeros(S, ap).at[0].set(ap)
-    ap2_0 = cplx.abs2_sum(ap).astype(rdtype)
+    ap2_0 = _allsum(cplx.abs2_sum(ap).astype(rdtype), axis_names)
     ap_norms = jnp.zeros((S,), rdtype).at[0].set(ap2_0)
-    apr_0 = cplx.vdot(ap, r)
+    apr_0 = _allsum(cplx.vdot(ap, r), axis_names)
 
-    r2_0 = cplx.abs2_sum(r).astype(rdtype)
+    r2_0 = _allsum(cplx.abs2_sum(r).astype(rdtype), axis_names)
     hist = jnp.full((max_iter + 1,), jnp.nan, rdtype)
     hist = hist.at[0].set(jnp.sqrt(r2_0 / jnp.maximum(rhs_norm2_safe, _tiny(rdtype))))
     tol2 = jnp.asarray(params.tol**2, rdtype)
@@ -258,14 +287,19 @@ def _gcr_solve_fused(a, rhs, params: GCRParams, precond, x0) -> SolveResult:
 
         alpha = _div_real(apr, ap2, rdtype)
         x, r, r2 = gk.update_xr(x, r, ps, aps, slot, alpha)
-        r2 = r2.astype(rdtype)
+        r2 = _allsum(r2.astype(rdtype), axis_names)
         if params.residual_refresh:
             r, r2 = jax.lax.cond(
                 it % params.residual_refresh == 0,
                 lambda x, r, r2: (
-                    (lambda rr: (rr, cplx.abs2_sum(rr).astype(rdtype)))(
-                        rhs - apply_a(x)
-                    )
+                    (
+                        lambda rr: (
+                            rr,
+                            _allsum(
+                                cplx.abs2_sum(rr).astype(rdtype), axis_names
+                            ),
+                        )
+                    )(rhs - apply_a(x))
                 ),
                 lambda x, r, r2: (r, r2),
                 x,
@@ -301,6 +335,7 @@ def _gcr_solve_fused(a, rhs, params: GCRParams, precond, x0) -> SolveResult:
             )
         else:
             raw = gk.beta_dots(aps, az)
+        raw = _allsum(raw, axis_names)
         betas = cplx.where(
             ap_norms > 0,
             _div_real(raw, ap_norms.astype(raw.dtype), rdtype),
@@ -335,7 +370,8 @@ def _gcr_solve_fused(a, rhs, params: GCRParams, precond, x0) -> SolveResult:
             ps, aps, apn, apr = gk.dir_update(
                 z, az, r_arg, ps, aps, betas, slot, lim=S
             )
-        apn = apn.astype(rdtype)
+        apn = _allsum(apn.astype(rdtype), axis_names)
+        apr = _allsum(apr, axis_names)
         ap_norms = ap_norms.at[slot].set(apn)
 
         return (x, r, ps, aps, ap_norms, apn, apr, slot, count, it, r2, hist)
@@ -395,7 +431,9 @@ def _mega_step_config(a, precond):
     return d.links, a.k, d.mesh
 
 
-def _gcr_solve_fused_cycles(a, rhs, params: GCRParams, precond, x0) -> SolveResult:
+def _gcr_solve_fused_cycles(
+    a, rhs, params: GCRParams, precond, x0, axis_names: tuple = ()
+) -> SolveResult:
     """Restart-cycle-unrolled fused GCR in the z-basis representation.
 
     The while_loop body is one whole restart cycle with the R inner
@@ -429,7 +467,9 @@ def _gcr_solve_fused_cycles(a, rhs, params: GCRParams, precond, x0) -> SolveResu
     iteration."""
     from mgpgcr_tpu.ops.pallas import gcr_kernels as gk
 
-    mega = _mega_step_config(a, precond)
+    # the one-pass mega step is single-shard only: with axis_names set the
+    # K1r/K2/K3z kernels run per shard and their dots are psummed instead
+    mega = _mega_step_config(a, precond) if not axis_names else None
     apply_a = a.apply if hasattr(a, "apply") else a
     rdtype = cplx.real_dtype(rhs)
     S = params.storage_size
@@ -439,7 +479,7 @@ def _gcr_solve_fused_cycles(a, rhs, params: GCRParams, precond, x0) -> SolveResu
     x = cplx.zeros_like(rhs) if x0 is None else x0
     r = rhs - apply_a(x) if x0 is not None else rhs
 
-    rhs_norm2 = cplx.abs2_sum(rhs).astype(rdtype)
+    rhs_norm2 = _allsum(cplx.abs2_sum(rhs).astype(rdtype), axis_names)
     rhs_norm2_safe = jnp.maximum(rhs_norm2, jnp.asarray(0, rdtype))
 
     z = precond(r) if precond is not None else r
@@ -447,11 +487,11 @@ def _gcr_solve_fused_cycles(a, rhs, params: GCRParams, precond, x0) -> SolveResu
     ap = apply_a(p0)
 
     aps = cplx.stack_zeros(S, ap).at[0].set(ap)
-    ap2_0 = cplx.abs2_sum(ap).astype(rdtype)
+    ap2_0 = _allsum(cplx.abs2_sum(ap).astype(rdtype), axis_names)
     ap_norms = jnp.zeros((S,), rdtype).at[0].set(ap2_0)
-    apr_0 = cplx.vdot(ap, r)
+    apr_0 = _allsum(cplx.vdot(ap, r), axis_names)
 
-    r2_0 = cplx.abs2_sum(r).astype(rdtype)
+    r2_0 = _allsum(cplx.abs2_sum(r).astype(rdtype), axis_names)
     hist = jnp.full((max_iter + 1,), jnp.nan, rdtype)
     hist = hist.at[0].set(jnp.sqrt(r2_0 / jnp.maximum(rhs_norm2_safe, _tiny(rdtype))))
     tol2 = jnp.asarray(params.tol**2, rdtype)
@@ -489,7 +529,7 @@ def _gcr_solve_fused_cycles(a, rhs, params: GCRParams, precond, x0) -> SolveResu
                 z = r
             else:
                 r, r2 = gk.update_r(r, aps, j, alpha)
-            r2 = r2.astype(rdtype)
+            r2 = _allsum(r2.astype(rdtype), axis_names)
             hist = hist.at[it].set(
                 jnp.where(
                     active,
@@ -503,7 +543,7 @@ def _gcr_solve_fused_cycles(a, rhs, params: GCRParams, precond, x0) -> SolveResu
                 az = apply_a(z)
 
                 # stored A-directions live in the static prefix [0:j+1]
-                raw = gk.beta_dots(aps, az, lim=j + 1)
+                raw = _allsum(gk.beta_dots(aps, az, lim=j + 1), axis_names)
             betas = cplx.where(
                 ap_norms > 0,
                 _div_real(raw, ap_norms.astype(raw.dtype), rdtype),
@@ -538,7 +578,8 @@ def _gcr_solve_fused_cycles(a, rhs, params: GCRParams, precond, x0) -> SolveResu
                 aps, apn, apr = gk.ap_update(
                     az, r, aps, betas, slot, lim=j + 1
                 )
-            ap2 = apn.astype(rdtype)
+                apr = _allsum(apr, axis_names)
+            ap2 = _allsum(apn.astype(rdtype), axis_names)
             ap_norms = ap_norms.at[slot].set(ap2)
 
         # cycle end: resolve the triangular table in one basis pass —

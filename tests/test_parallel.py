@@ -309,6 +309,56 @@ def test_sharded_pallas_antiperiodic_and_compression(small_problem):
     )
 
 
+@pytest.mark.parametrize("fused", [True, False])
+def test_distributed_fused_gcr_matches_single_device(small_problem, fused):
+    """The whole fused GCR solve inside shard_map (gcr_solve_sharded):
+    per-shard Pallas kernels + psummed scalar dots must reproduce the
+    single-device fused solve trajectory. This is the round-2 VERDICT's
+    'make the fast path distributed' acceptance test."""
+    from mgpgcr_tpu import cplx
+    from mgpgcr_tpu.ops.dirac import DiracOperator
+    from mgpgcr_tpu.ops.pallas.dslash import PallasWilsonDirac
+    from mgpgcr_tpu.ops.wilson_tpu import field_to_tpu
+    from mgpgcr_tpu.solvers.gcr_dist import gcr_solve_sharded
+
+    mesh, links, psi = small_problem
+    links_cf = cplx.ascf(links, jnp.float64)
+    k = cplx.from_scalar(0.08, jnp.float64)
+    rhs = field_to_tpu(cplx.ascf(psi, jnp.float64), mesh)
+    params = GCRParams(tol=1e-10, max_iter=120, restart=5, fused=fused)
+
+    d_ref = PallasWilsonDirac.build(links_cf, mesh, interpret=True)
+    a_ref = DiracOperator(d_ref, k)
+    res_ref = gcr_solve(a_ref, rhs, params)
+
+    dmesh = make_lattice_device_mesh(
+        8, axis_names=("t", "z"), axis_sizes=(4, 2)
+    )
+    d = PallasWilsonDirac.build_sharded(
+        links_cf, mesh, dmesh, axis_t="t", axis_z="z", interpret=True
+    )
+    a = DiracOperator(d, k)
+    res = jax.jit(
+        lambda rhs_: gcr_solve_sharded(a, rhs_, params)
+    )(d.shard_field(rhs))
+
+    assert bool(res.converged)
+    assert int(res.n_iters) == int(res_ref.n_iters)
+    n = int(res.n_iters) + 1
+    np.testing.assert_allclose(
+        np.asarray(res.res_history[:n]),
+        np.asarray(res_ref.res_history[:n]),
+        rtol=1e-8,
+    )
+    np.testing.assert_allclose(
+        cplx.to_numpy(res.x), cplx.to_numpy(res_ref.x), atol=1e-9
+    )
+    # independent residual through the single-device operator
+    r = rhs - a_ref.apply(res.x)
+    rel = float(jnp.sqrt(cplx.abs2_sum(r) / cplx.abs2_sum(rhs)))
+    assert rel < 1e-9
+
+
 def test_dist_config_from_env(monkeypatch):
     from mgpgcr_tpu.parallel.dist import config_from_env
 
