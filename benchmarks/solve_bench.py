@@ -36,6 +36,11 @@ from mgpgcr_tpu.ops.wilson_tpu import TpuWilsonDirac  # noqa: E402
 from mgpgcr_tpu.solvers.gcr import gcr_solve  # noqa: E402
 from mgpgcr_tpu.solvers.mg import setup_mg  # noqa: E402
 from mgpgcr_tpu.solvers.params import GCRParams, MGParams  # noqa: E402
+from mgpgcr_tpu.utils.profiling import (  # noqa: E402
+    annotate,
+    dslash_roofline,
+    gcr_iteration_roofline,
+)
 
 
 def main() -> int:
@@ -51,6 +56,20 @@ def main() -> int:
         action="store_true",
         help="host-orchestrated outer GCR (for sizes whose whole-solve "
         "jit exceeds compile limits, e.g. 32^4 MG)",
+    )
+    ap.add_argument(
+        "--fused",
+        action="store_true",
+        help="fused Pallas K1/K2/K3 iteration algebra (jitted AND eager "
+        "outer loops)",
+    )
+    ap.add_argument(
+        "--check-every",
+        dest="check_every",
+        type=int,
+        default=1,
+        help="eager loop: fetch the convergence scalar every N iterations "
+        "(batches tunnel round-trips; may overrun by N-1 iterations)",
     )
     ap.add_argument(
         "--refine-tol",
@@ -70,42 +89,75 @@ def main() -> int:
     a = DiracOperator(d, cplx.from_scalar(args.k, jnp.float32))
     rhs = cplx.random(jax.random.PRNGKey(7), d.field_shape, jnp.float32)
 
-    def timed_solve(precond, max_iter):
+    def timed_solve(precond, max_iter, phase):
         from mgpgcr_tpu.solvers.gcr import gcr_solve_eager
 
-        params = GCRParams(tol=args.tol, max_iter=max_iter, restart=5)
+        params = GCRParams(
+            tol=args.tol, max_iter=max_iter, restart=5, fused=args.fused
+        )
         if args.eager:
-            solve = lambda a, b: gcr_solve_eager(a, b, params, precond=precond)  # noqa: E731
+            solve = lambda a, b: gcr_solve_eager(  # noqa: E731
+                a, b, params, precond=precond, check_every=args.check_every
+            )
         else:
             solve = jax.jit(lambda a, b: gcr_solve(a, b, params, precond=precond))
-        res = solve(a, rhs)
-        float(res.final_relres)  # warm-up incl. first-sync stall
-        t0 = time.perf_counter()
-        res = solve(a, rhs)
-        float(res.final_relres)
-        dt = time.perf_counter() - t0
+        with annotate(f"{phase}_warmup"):
+            res = solve(a, rhs)
+            float(res.final_relres)  # warm-up incl. first-sync stall
+        with annotate(phase):
+            t0 = time.perf_counter()
+            res = solve(a, rhs)
+            float(res.final_relres)
+            dt = time.perf_counter() - t0
         r = rhs - a.apply(res.x)
         rel = float(jnp.sqrt(cplx.abs2_sum(r) / cplx.abs2_sum(rhs)))
-        return {
+        out = {
             "converged": bool(res.converged),
             "iters": int(res.n_iters),
             "seconds": round(dt, 3),
             "indep_relres": rel,
         }
+        # archived roofline counters (utils/profiling.py): a measured bare
+        # operator apply + the per-iteration estimate for this phase
+        t0 = time.perf_counter()
+        float(cplx.abs2_sum(a.apply(rhs)))
+        dt_ap = time.perf_counter() - t0
+        print(
+            json.dumps({"phase": f"{phase}_roofline",
+                        **dslash_roofline(mesh, dt_ap).asdict()}),
+            flush=True,
+        )
+        if out["iters"]:
+            per_it = out["seconds"] / out["iters"] - dt_ap
+            # skip when the estimate is non-positive (tiny dispatch-bound
+            # problems: a warm solve iteration can beat one cold apply)
+            if per_it > 0:
+                print(
+                    json.dumps(
+                        {"phase": f"{phase}_iter_roofline",
+                         **gcr_iteration_roofline(mesh, per_it, 5).asdict()}
+                    ),
+                    flush=True,
+                )
+        return out
 
     out = {"lattice": args.lattice, "k": args.k, "tol": args.tol,
            "device": jax.devices()[0].device_kind}
-    print(json.dumps({"phase": "plain", **out, **timed_solve(None, 2000)}), flush=True)
+    print(
+        json.dumps({"phase": "plain", **out, **timed_solve(None, 2000, "plain")}),
+        flush=True,
+    )
 
     t0 = time.perf_counter()
-    mgp = setup_mg(
-        jax.random.PRNGKey(3),
-        a,
-        mesh,
-        MGParams(block=args.block, n_nullvecs=args.nullvecs),
-        layout="tpu",
-    )
-    jax.block_until_ready(jax.tree_util.tree_leaves(mgp.coarse))
+    with annotate("mg_setup"):
+        mgp = setup_mg(
+            jax.random.PRNGKey(3),
+            a,
+            mesh,
+            MGParams(block=args.block, n_nullvecs=args.nullvecs),
+            layout="tpu",
+        )
+        jax.block_until_ready(jax.tree_util.tree_leaves(mgp.coarse))
     setup_s = time.perf_counter() - t0
     print(
         json.dumps(
@@ -113,7 +165,7 @@ def main() -> int:
                 "phase": "mg",
                 **out,
                 "setup_seconds": round(setup_s, 2),
-                **timed_solve(mgp.apply, 500),
+                **timed_solve(mgp.apply, 500, "mg"),
             }
         ),
         flush=True,

@@ -112,10 +112,17 @@ def build_problem(pc, jax):
 
 
 def _solve_once(cfg, jax, logger):
+    import time as _time
+
     from mgpgcr_tpu import cplx
     from mgpgcr_tpu.solvers.gcr import gcr_solve, gcr_solve_eager
     from mgpgcr_tpu.solvers.mg import setup_mg
     from mgpgcr_tpu.utils.logging import Timer
+    from mgpgcr_tpu.utils.profiling import (
+        annotate,
+        dslash_roofline,
+        gcr_iteration_roofline,
+    )
 
     a, mesh, rhs, to_host = build_problem(cfg.problem, jax)
     precond = None
@@ -128,7 +135,7 @@ def _solve_once(cfg, jax, logger):
         # problems use flat fields (CF pairs when the dtype is cf*)
         cf = cfg.problem.dtype.startswith("cf")
         layout = "tpu" if (cf and not cfg.problem.matrix) else "flat"
-        with Timer(logger, "mg_setup") as t:
+        with annotate("mg_setup"), Timer(logger, "mg_setup") as t:
             mgp = setup_mg(
                 jax.random.PRNGKey(cfg.problem.seed + 7),
                 a,
@@ -141,7 +148,7 @@ def _solve_once(cfg, jax, logger):
         precond = mgp.apply
         setup_s = t.elapsed
     solve_fn = gcr_solve_eager if getattr(cfg, "eager", False) else gcr_solve
-    with Timer(logger, "solve") as t:
+    with annotate("solve"), Timer(logger, "solve") as t:
         res = solve_fn(a, rhs, cfg.gcr, precond=precond)
         Timer.block_on(jax.tree_util.tree_leaves(res.x))
     out = {
@@ -152,10 +159,45 @@ def _solve_once(cfg, jax, logger):
         "mg_setup_s": round(setup_s, 4),
     }
     # independent residual check (never trust the solver's bookkeeping)
-    r = rhs - a.apply(res.x)
-    out["indep_relres"] = float(
-        np.sqrt(float(cplx.abs2_sum(r)) / float(cplx.abs2_sum(rhs)))
-    )
+    with annotate("refine_check"):
+        r = rhs - a.apply(res.x)
+        out["indep_relres"] = float(
+            np.sqrt(float(cplx.abs2_sum(r)) / float(cplx.abs2_sum(rhs)))
+        )
+
+    # archive roofline counters (SURVEY §5 obligation): one measured bare
+    # operator application (jit-warm; fetch-synced, block_until_ready can
+    # return early through tunneled backends) + the per-iteration estimate
+    if mesh is not None and not cfg.problem.matrix:
+        t0 = _time.perf_counter()
+        y = a.apply(rhs)
+        float(cplx.abs2_sum(y))
+        dt = _time.perf_counter() - t0
+        rdt = np.dtype(cplx.real_dtype(rhs))
+        links = getattr(getattr(a, "d", None), "links", None)
+        if links is None:
+            link_b = rdt.itemsize
+        else:
+            ld = np.dtype(links.dtype)
+            # itemsize per REAL component (complex dtypes store two)
+            link_b = ld.itemsize // (2 if ld.kind == "c" else 1)
+        rl = dslash_roofline(
+            mesh, dt, field_itemsize=rdt.itemsize, link_itemsize=link_b
+        )
+        logger.log("roofline", **rl.asdict())
+        if out["iters"] > 0:
+            per_it = t.elapsed / out["iters"] - dt
+            # skip when non-positive (tiny dispatch-bound problems: a warm
+            # solve iteration can beat one cold apply); the dslash event
+            # above is still always archived
+            if per_it > 0:
+                rl_it = gcr_iteration_roofline(
+                    mesh,
+                    per_it,
+                    cfg.gcr.restart or cfg.gcr.storage_size,
+                    field_itemsize=rdt.itemsize,
+                )
+                logger.log("roofline", **rl_it.asdict())
     return out, res
 
 

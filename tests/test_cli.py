@@ -64,6 +64,33 @@ def test_solve_fixture_with_trace_and_log(tmp_path):
     assert "config" in names and "result" in names and "timer" in names
 
 
+def test_solve_synthetic_logs_roofline(tmp_path):
+    """Roofline counters are archived as RunLogger events for synthetic
+    lattice solves (round-1/2 observability obligation: profiling wired
+    into the production driver, not just the library)."""
+    log = tmp_path / "run.jsonl"
+    r = _run(
+        [
+            "solve", "--platform", "cpu",
+            "--lattice", "2", "2", "2", "2",
+            "--k", "0.05", "--dtype", "complex128",
+            "--tol", "1e-8", "--max-iter", "200", "--restart", "5",
+            "--log", str(log),
+        ]
+    )
+    assert r.returncode == 0, r.stderr
+    events = [json.loads(l) for l in log.read_text().splitlines()]
+    rl = [e for e in events if e["event"] == "roofline"]
+    kernels = {e["kernel"] for e in rl}
+    assert "wilson_dslash" in kernels
+    # gcr_iteration_algebra is emitted only when the per-iteration
+    # estimate is positive (2^4 on CPU is dispatch-bound, so a warm solve
+    # iteration can beat one cold apply and the estimate is skipped)
+    for e in rl:
+        assert e["bytes"] > 0 and e["seconds"] > 0
+        assert e["vs_hbm_roofline"] >= 0
+
+
 def test_solve_config_file(tmp_path):
     cfg = {
         "problem": {"lattice": [2, 2, 2, 2], "k": 0.05, "dtype": "complex128"},

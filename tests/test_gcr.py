@@ -312,3 +312,26 @@ def test_eager_solver_matches_jitted():
         np.asarray(g.res_history[:n]),
         rtol=2e-4,
     )
+
+    # fused eager loop: per-iteration K1/K2/K3 Pallas kernel bundles
+    # (round-2 VERDICT item 4) — same trajectory as the jitted fused solve
+    ef = gcr_solve_eager(a, b, p, fused=True)
+    gf = gcr_solve(a, b, p, fused=True)
+    assert bool(ef.converged)
+    assert int(ef.n_iters) == int(gf.n_iters)
+    nf = int(gf.n_iters) + 1
+    np.testing.assert_allclose(
+        np.asarray(ef.res_history[:nf]),
+        np.asarray(gf.res_history[:nf]),
+        rtol=2e-4,
+    )
+    rf = b - a.apply(ef.x)
+    assert float(jnp.sqrt(cplx.abs2_sum(rf) / cplx.abs2_sum(b))) < 2e-6
+
+    # batched convergence checks may overrun by < check_every iterations
+    # but must converge to the same answer
+    e4 = gcr_solve_eager(a, b, p, fused=True, check_every=4)
+    assert bool(e4.converged)
+    assert int(e4.n_iters) <= int(gf.n_iters) + 3
+    r4 = b - a.apply(e4.x)
+    assert float(jnp.sqrt(cplx.abs2_sum(r4) / cplx.abs2_sum(b))) < 2e-6
