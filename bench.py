@@ -51,7 +51,11 @@ import jax.numpy as jnp
 from mgpgcr_tpu import cplx
 from mgpgcr_tpu.mesh import LatticeMesh
 from mgpgcr_tpu.ops.dirac import DiracOperator
-from mgpgcr_tpu.ops.pallas.dslash import PallasWilsonDirac, links_to_tmajor
+from mgpgcr_tpu.ops.pallas.dslash import (
+    PallasWilsonDirac,
+    compress_links_tmajor,
+    links_to_tmajor,
+)
 from mgpgcr_tpu.ops.wilson_tpu import TpuWilsonDirac, with_link_dtype
 from mgpgcr_tpu.solvers.gcr import gcr_solve
 from mgpgcr_tpu.solvers.params import GCRParams
@@ -153,8 +157,10 @@ def main() -> None:
         op32 = PallasWilsonDirac(links_to_tmajor(links), mesh)
         # two-row (12-real) SU(3) compression: identical compute/memory
         # shape on these random links (values are wrong, timing is exact;
-        # exactness for real SU(3) links is tested in tests/test_pallas.py)
-        op32c = op32.with_compressed_links()
+        # exactness for real SU(3) links is tested in tests/test_pallas.py
+        # — so the production with_compressed_links SU(3) guard is
+        # bypassed here via the raw layout helper)
+        op32c = PallasWilsonDirac(compress_links_tmajor(op32.links), mesh)
         op16c = with_link_dtype(op32c, jnp.bfloat16)
     else:  # CPU smoke path: XLA slab implementation, same layout/semantics
         op32 = TpuWilsonDirac(links, mesh)
@@ -180,7 +186,10 @@ def main() -> None:
     }
     variants = [("f32_links", op32), ("bf16_links", op16)]
     if op16c is not None:
-        variants += [("bf16_links_2row", op16c)]
+        # f32_links_2row is the SAME-PRECISION production variant: f32
+        # arithmetic, exact row-2 reconstruction for SU(3) links — the
+        # apples-to-apples number against the f32-traffic roofline
+        variants += [("f32_links_2row", op32c), ("bf16_links_2row", op16c)]
     times = {}
     for name, op in variants:
         dt = _time_apply(op, psi)
