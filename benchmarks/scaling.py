@@ -78,7 +78,14 @@ def _launch(args, argv: list[str]) -> int:
     return rc
 
 
-def measure(n_devices: int, dims: tuple[int, int, int, int], iters: int) -> dict:
+def measure(
+    n_devices: int,
+    dims: tuple[int, int, int, int],
+    iters: int,
+    kernel: str = "pallas",
+) -> dict:
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding
@@ -86,9 +93,11 @@ def measure(n_devices: int, dims: tuple[int, int, int, int], iters: int) -> dict
     from mgpgcr_tpu import cplx
     from mgpgcr_tpu.mesh import LatticeMesh
     from mgpgcr_tpu.ops.dirac import DiracOperator
+    from mgpgcr_tpu.ops.pallas.dslash import PallasWilsonDirac
     from mgpgcr_tpu.ops.wilson_tpu import TpuWilsonDirac
     from mgpgcr_tpu.parallel import balanced_factors, make_lattice_device_mesh
     from mgpgcr_tpu.solvers.gcr import gcr_solve
+    from mgpgcr_tpu.solvers.gcr_dist import gcr_solve_sharded
     from mgpgcr_tpu.solvers.params import GCRParams
 
     st, sz = balanced_factors(n_devices, 2)
@@ -97,15 +106,31 @@ def measure(n_devices: int, dims: tuple[int, int, int, int], iters: int) -> dict
     t, z, y, xx = dims
     assert t % st == 0 and z % sz == 0, (dims, (st, sz))
 
-    proto = TpuWilsonDirac(
-        cplx.CF(
-            jnp.zeros((4, 3, 3, t, z, y * xx), jnp.float32),
-            jnp.zeros((4, 3, 3, t, z, y * xx), jnp.float32),
-        ),
-        mesh,
-        dmesh,
-        "t",
-        "z",
+    if kernel == "pallas":
+        # the production path (round-3): ghost-plane streaming Pallas
+        # Dslash + fused K1/K2/K3 iteration kernels, the WHOLE solve in
+        # one shard_map region (solvers/gcr_dist.py) — per-device work is
+        # the single-chip headline kernel, not the XLA slab fallback
+        interpret = jax.devices()[0].platform != "tpu"
+        proto = PallasWilsonDirac(
+            cplx.CF(jnp.zeros(()), jnp.zeros(())),
+            mesh, None, None, interpret, False, dmesh, "t", "z",
+        )
+    else:
+        proto = TpuWilsonDirac(
+            cplx.CF(
+                jnp.zeros((4, 3, 3, t, z, y * xx), jnp.float32),
+                jnp.zeros((4, 3, 3, t, z, y * xx), jnp.float32),
+            ),
+            mesh,
+            dmesh,
+            "t",
+            "z",
+        )
+    links_shape = (
+        (t, 4, 3, 3, z, y * xx)  # t-major: streaming-kernel layout
+        if kernel == "pallas"
+        else (4, 3, 3, t, z, y * xx)
     )
     # generate data ON DEVICE with explicit output shardings: correct and
     # identical across processes (multi-process runs cannot device_put a
@@ -113,26 +138,34 @@ def measure(n_devices: int, dims: tuple[int, int, int, int], iters: int) -> dict
     links_sh = NamedSharding(dmesh, proto._links_spec())
     field_sh = NamedSharding(dmesh, proto._field_spec())
     gen_links = jax.jit(
-        lambda: cplx.random(
-            jax.random.PRNGKey(0), (4, 3, 3, t, z, y * xx), jnp.float32
-        ),
+        lambda: cplx.random(jax.random.PRNGKey(0), links_shape, jnp.float32),
         out_shardings=cplx.CF(links_sh, links_sh),
     )
     gen_field = jax.jit(
         lambda: cplx.random(jax.random.PRNGKey(1), (4, 3, t, z, y * xx), jnp.float32),
         out_shardings=cplx.CF(field_sh, field_sh),
     )
-    d = TpuWilsonDirac(gen_links(), mesh, dmesh, "t", "z")
+    d = dataclasses.replace(proto, links=gen_links())
     a = DiracOperator(d, cplx.from_scalar(0.05, jnp.float32))
     rhs = gen_field()
 
     params = GCRParams(tol=0.0, max_iter=iters, restart=5)
-    solve = jax.jit(lambda a, b: gcr_solve(a, b, params).x)
+    if kernel == "pallas":
+        solve = jax.jit(
+            lambda a, b: gcr_solve_sharded(a, b, params, fused=True).x
+        )
+    else:
+        solve = jax.jit(lambda a, b: gcr_solve(a, b, params).x)
+    def sync(o):
+        # true-fetch sync: this tunneled TPU backend's block_until_ready
+        # returns early; a scalar device->host fetch is the reliable barrier
+        float(jnp.sum(jnp.asarray(o.re if hasattr(o, "re") else o)[0]))
+
     out = solve(a, rhs)
-    jax.block_until_ready(out)  # warm-up (compile) + sync
+    sync(out)  # warm-up (compile) + sync
     t0 = time.perf_counter()
     out = solve(a, rhs)
-    jax.block_until_ready(out)
+    sync(out)
     dt = time.perf_counter() - t0
 
     sites = t * z * y * xx
@@ -140,6 +173,7 @@ def measure(n_devices: int, dims: tuple[int, int, int, int], iters: int) -> dict
     return {
         "n_devices": n_devices,
         "n_processes": jax.process_count(),
+        "kernel": kernel,
         "mesh_axes": [st, sz],
         "lattice": list(dims),
         "iters": iters,
@@ -161,6 +195,13 @@ def main() -> int:
         help="weak: Z Y X (T grows); strong: T Z Y X (fixed)",
     )
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument(
+        "--kernel",
+        choices=["pallas", "xla"],
+        default="pallas",
+        help="pallas: distributed fused streaming kernels in one shard_map "
+        "(the production path); xla: GSPMD slab-stencil fallback",
+    )
     ap.add_argument("--devices", type=int, nargs="*", default=None)
     ap.add_argument("--output", help="also append JSON lines to this file (rank 0)")
     ap.add_argument(
@@ -221,7 +262,7 @@ def main() -> int:
             dims = (args.base_t * st, z * sz, y, xx)
         else:
             dims = tuple(args.lattice[:4])
-        r = measure(n, dims, args.iters)
+        r = measure(n, dims, args.iters, kernel=args.kernel)
         r["mode"] = args.mode
         if results:
             base = results[0]

@@ -406,29 +406,58 @@ def _gcr_solve_fused(
 
 
 def _mega_step_config(a, precond):
-    """(links, k, mesh) when the one-pass fused GCR step applies:
-    unpreconditioned A = I - kD with the z-resident t-streaming Pallas
-    Wilson-Dirac as D and a CF k. None otherwise."""
+    """Step closure ``(r, aps, alpha, lim) -> (r', az, r2, raw, apr)`` when
+    the one-pass fused GCR step applies: unpreconditioned A = I - kD with
+    the z-resident t-streaming Pallas Wilson-Dirac as D and a CF k — on
+    one device, or per shard (``ShardLocalWilsonDirac``, built by the
+    distributed driver gcr_solve_sharded). None otherwise. The scalar
+    outputs are per-shard partials; the caller psums them."""
     if precond is not None:
         return None
     from mgpgcr_tpu.ops.dirac import DiracOperator
     from mgpgcr_tpu.ops.pallas.dslash import PallasWilsonDirac, _links_is_tmajor
+    from mgpgcr_tpu.ops.pallas.gcr_dslash_dist import ShardLocalWilsonDirac
 
     if not isinstance(a, DiracOperator):
         return None
     d = a.d
-    if not isinstance(d, PallasWilsonDirac) or not cplx.is_cf(a.k):
+    if not cplx.is_cf(a.k):
+        return None
+
+    if isinstance(d, ShardLocalWilsonDirac):
+        # inside shard_map: ghost-plane one-pass step; local T extent must
+        # support the two-slot scratch parity
+        t_loc = d.local_mesh.spacetime_dims[0]
+        if t_loc < 2 or t_loc % 2 or not _links_is_tmajor(d.links):
+            return None
+        from mgpgcr_tpu.ops.pallas import gcr_dslash_dist as gdd
+
+        def step_dist(r, aps, alpha, lim):
+            return gdd.gcr_stream_step_local(
+                d.links, r, aps, alpha, a.k, lim, d.local_mesh,
+                d.axis_t, d.nt_dev, d.axis_z, d.nz_dev,
+                anti_t=d.anti_t, interpret=d.interpret,
+            )
+
+        return step_dist
+
+    if not isinstance(d, PallasWilsonDirac):
         return None
     if not _links_is_tmajor(d.links):
         return None
     if d.anti_t:  # the one-pass kernel has no in-kernel BC path (yet)
         return None
-    if d.device_mesh is not None:  # mega step is single-shard only
+    if d.device_mesh is not None:  # use gcr_solve_sharded for device meshes
         return None
     t, z, y, xx = d.mesh.spacetime_dims
     if d.tb not in (None, 1) or d.zb not in (None, z) or t < 2:
         return None
-    return d.links, a.k, d.mesh
+    from mgpgcr_tpu.ops.pallas import gcr_dslash as gds
+
+    def step(r, aps, alpha, lim):
+        return gds.gcr_stream_step(d.links, r, aps, alpha, a.k, lim, d.mesh)
+
+    return step
 
 
 def _gcr_solve_fused_cycles(
@@ -467,9 +496,11 @@ def _gcr_solve_fused_cycles(
     iteration."""
     from mgpgcr_tpu.ops.pallas import gcr_kernels as gk
 
-    # the one-pass mega step is single-shard only: with axis_names set the
-    # K1r/K2/K3z kernels run per shard and their dots are psummed instead
-    mega = _mega_step_config(a, precond) if not axis_names else None
+    # one-pass mega step: K1r + A-apply + K2 in a single streaming kernel.
+    # Works unsharded AND per shard inside shard_map (the distributed
+    # driver passes a ShardLocalWilsonDirac; its halo ghosts are
+    # pre-combined r' faces and its dot outputs are psummed below)
+    mega = _mega_step_config(a, precond)
     apply_a = a.apply if hasattr(a, "apply") else a
     rdtype = cplx.real_dtype(rhs)
     S = params.storage_size
@@ -520,12 +551,9 @@ def _gcr_solve_fused_cycles(
             alphas.append(alpha)
 
             if mega is not None:
-                from mgpgcr_tpu.ops.pallas import gcr_dslash as gds
-
-                mlinks, mk, lmesh = mega
-                r, az, r2, raw, aprd = gds.gcr_stream_step(
-                    mlinks, r, aps, alpha, mk, j + 1, lmesh
-                )
+                r, az, r2, raw, aprd = mega(r, aps, alpha, j + 1)
+                raw = _allsum(raw, axis_names)
+                aprd = _allsum(aprd, axis_names)
                 z = r
             else:
                 r, r2 = gk.update_r(r, aps, j, alpha)

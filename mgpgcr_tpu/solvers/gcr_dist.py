@@ -81,15 +81,27 @@ def gcr_solve_sharded(
         specs.append(fspec)
 
     def local_solve(*ops):
+        from mgpgcr_tpu.ops.pallas.gcr_dslash_dist import ShardLocalWilsonDirac
+
         it = iter(ops)
         links = next(it)
         rhs_loc = next(it)
         k_loc = next(it) if k is not None else None
         x0_loc = next(it) if x0 is not None else None
-        if k_loc is not None:
-            a_loc = lambda v: d.apply_local(links, v, k=k_loc)  # noqa: E731
-        else:
-            a_loc = lambda v: d.apply_local(links, v)  # noqa: E731
+        # a typed per-shard operator (not a bare closure) so gcr_solve can
+        # recognise it and run iterations through the one-pass fused step
+        # (ghost-plane r-update + Dslash + beta dots in one kernel)
+        local = ShardLocalWilsonDirac(
+            links,
+            d.local_mesh(),
+            d.axis_t,
+            d._axis_size(d.axis_t),
+            d.axis_z,
+            d._axis_size(d.axis_z),
+            d.anti_t,
+            d.interpret,
+        )
+        a_loc = DiracOperator(local, k_loc) if k_loc is not None else local
         return gcr_solve(
             a_loc,
             rhs_loc,

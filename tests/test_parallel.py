@@ -406,3 +406,98 @@ def test_init_distributed_single_process_noop(monkeypatch):
     assert not cfg.is_multiprocess
     assert cfg.num_processes == 1 and cfg.process_id == 0
     assert dist.is_coordinator()
+
+
+def test_distributed_mega_step_gcr_matches_single_device():
+    """The ONE-PASS fused step (ghost-plane r-update + Dslash + beta dots,
+    ops/pallas/gcr_dslash_dist.py) inside the distributed solve. Needs an
+    even local T >= 2 to engage (here T=4 over 2 devices -> T_loc=2; the
+    small_problem decompositions have T_loc=1 and fall back), asserted via
+    _mega_step_config before solving."""
+    from mgpgcr_tpu import cplx
+    from mgpgcr_tpu.ops.dirac import DiracOperator as DOp
+    from mgpgcr_tpu.ops.pallas.dslash import PallasWilsonDirac
+    from mgpgcr_tpu.ops.pallas.gcr_dslash_dist import ShardLocalWilsonDirac
+    from mgpgcr_tpu.ops.wilson_tpu import field_to_tpu
+    from mgpgcr_tpu.solvers.gcr import _mega_step_config
+    from mgpgcr_tpu.solvers.gcr_dist import gcr_solve_sharded
+
+    mesh = LatticeMesh((4, 4, 2, 2, 4, 3))
+    links = random_links(jax.random.PRNGKey(3), mesh)
+    psi = fields.random_field(jax.random.PRNGKey(4), mesh).reshape(mesh.dims)
+    links_cf = cplx.ascf(links, jnp.float64)
+    k = cplx.from_scalar(0.08, jnp.float64)
+    rhs = field_to_tpu(cplx.ascf(psi, jnp.float64), mesh)
+    params = GCRParams(tol=1e-10, max_iter=120, restart=5, fused=True)
+
+    d_ref = PallasWilsonDirac.build(links_cf, mesh, interpret=True)
+    res_ref = gcr_solve(DiracOperator(d_ref, k), rhs, params)
+
+    dmesh = make_lattice_device_mesh(4, axis_names=("t", "z"), axis_sizes=(2, 2))
+    d = PallasWilsonDirac.build_sharded(
+        links_cf, mesh, dmesh, axis_t="t", axis_z="z", interpret=True
+    )
+    # the mega step must actually engage for this decomposition
+    local = ShardLocalWilsonDirac(
+        d.links, d.local_mesh(), "t", 2, "z", 2, False, True
+    )
+    assert _mega_step_config(DOp(local, k), None) is not None
+
+    a = DiracOperator(d, k)
+    res = jax.jit(lambda rhs_: gcr_solve_sharded(a, rhs_, params))(
+        d.shard_field(rhs)
+    )
+    assert bool(res.converged)
+    assert int(res.n_iters) == int(res_ref.n_iters)
+    n = int(res.n_iters) + 1
+    np.testing.assert_allclose(
+        np.asarray(res.res_history[:n]),
+        np.asarray(res_ref.res_history[:n]),
+        rtol=1e-8,
+    )
+    np.testing.assert_allclose(
+        cplx.to_numpy(res.x), cplx.to_numpy(res_ref.x), atol=1e-9
+    )
+
+
+def test_distributed_mega_step_antiperiodic_compressed():
+    """Anti-periodic BC sign riding the pre-combined r' ghost planes +
+    two-row link compression, through the distributed one-pass fused
+    solve. Reference for the BC: ops/wilson.py antiperiodic_t (a link
+    sign map) applied to the XLA oracle operator."""
+    from mgpgcr_tpu import cplx
+    from mgpgcr_tpu.ops.pallas.dslash import PallasWilsonDirac
+    from mgpgcr_tpu.ops.wilson import antiperiodic_t
+    from mgpgcr_tpu.ops.wilson_tpu import field_to_tpu
+    from mgpgcr_tpu.solvers.gcr_dist import gcr_solve_sharded
+
+    mesh = LatticeMesh((4, 4, 2, 2, 4, 3))
+    links = random_links(jax.random.PRNGKey(5), mesh)
+    psi = fields.random_field(jax.random.PRNGKey(6), mesh).reshape(mesh.dims)
+    k = cplx.from_scalar(0.08, jnp.float64)
+    rhs = field_to_tpu(cplx.ascf(psi, jnp.float64), mesh)
+    params = GCRParams(tol=1e-10, max_iter=120, restart=5, fused=True)
+
+    # oracle: flipped-link operator through the plain (unfused) solver
+    aref = DiracOperator(
+        PallasWilsonDirac.build(
+            cplx.ascf(antiperiodic_t(links), jnp.float64), mesh, interpret=True
+        ),
+        k,
+    )
+    res_ref = gcr_solve(aref, rhs, params, fused=False)
+
+    dmesh = make_lattice_device_mesh(4, axis_names=("t", "z"), axis_sizes=(2, 2))
+    d = PallasWilsonDirac.build_sharded(
+        cplx.ascf(links, jnp.float64), mesh, dmesh, axis_t="t", axis_z="z",
+        antiperiodic_t=True, compress=True, interpret=True,
+    )
+    a = DiracOperator(d, k)
+    res = jax.jit(lambda rhs_: gcr_solve_sharded(a, rhs_, params))(
+        d.shard_field(rhs)
+    )
+    assert bool(res.converged)
+    assert int(res.n_iters) == int(res_ref.n_iters)
+    np.testing.assert_allclose(
+        cplx.to_numpy(res.x), cplx.to_numpy(res_ref.x), atol=1e-9
+    )
