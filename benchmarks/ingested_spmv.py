@@ -11,9 +11,24 @@ missing 8x8parsed.txt blob):
 - stencil_pallas: fused single-pass Pallas kernel (f32 blocks)
 - stencil_pallas_bf16: same, bf16 block storage (half the HBM traffic)
 
-Prints JSON lines {variant, us_per_apply, gnnz_per_s, vs_min_traffic};
-``vs_min_traffic`` is against the true-nnz minimal-traffic roofline
-(vals+cols+x+y once), the honest SOL for an ingested-format SpMV.
+Prints JSON lines {variant, us_per_apply, gnnz_per_s, vs_min_traffic,
+vs_block_stream, vs_vpu}; three bounds per variant:
+
+- ``vs_min_traffic``: the true-nnz minimal-traffic roofline (vals+cols+
+  x+y once at the variant's value precision) — the honest SOL for ANY
+  ingested-format SpMV. The block-stencil format cannot reach it: dense
+  12x12 blocks store 144/39 = 3.7x the true nnz (the price of removing
+  the index stream and the serial row loop, Operator.h:331-346).
+- ``vs_block_stream``: streaming the variant's OWN block tensor + x + y
+  once at the measured multi-window DMA ceiling — the format-specific
+  memory bound the kernel can actually approach.
+- ``vs_vpu``: the compute ceiling — the kernel's complex MACs are VPU
+  work (ne=12 blocks never touch the MXU: a 12x12 systolic matmul wastes
+  99% of the 128x128 array), 8 real ops per stored block element on
+  (16, r)-shaped vregs (ne=12 pads to 16 sublanes). Whichever of
+  vs_block_stream / vs_vpu is larger names the binding constraint at
+  that precision: f32 blocks are DMA-bound, bf16 blocks flip to
+  VPU-bound (halving the bytes doubles arithmetic intensity).
 """
 
 from __future__ import annotations

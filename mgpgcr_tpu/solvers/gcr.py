@@ -679,13 +679,18 @@ jax.tree_util.register_dataclass(
 )
 
 
-@partial(jax.jit, static_argnames=("params", "precond", "left_precond"))
+@partial(
+    jax.jit,
+    static_argnames=("params", "precond", "left_precond", "axis_names"),
+)
 def gcr_solve_jit(
-    a, rhs, params: GCRParams, precond=None, x0=None, left_precond=None
+    a, rhs, params: GCRParams, precond=None, x0=None, left_precond=None,
+    axis_names: tuple = (),
 ) -> SolveResult:
     """Convenience jitted entry point (operators must be pytrees)."""
     return gcr_solve(
-        a, rhs, params, precond=precond, x0=x0, left_precond=left_precond
+        a, rhs, params, precond=precond, x0=x0, left_precond=left_precond,
+        axis_names=axis_names,
     )
 
 

@@ -339,6 +339,19 @@ def galerkin_coarse_blocks(
         un-phased by conj(chi_p(B_r)). Shape (nb, ne_row, ne_col)."""
         return _measure_core(a, q, chi_for(p))
 
+    slots = stencil_from_probes(measure, bpd)
+    blocks = cplx.stack(slots, axis=1)  # (nb, 9, ne, ne)
+    table = jnp.asarray(block_map.neighbor_table(), jnp.int32)
+    return blocks, table
+
+
+def stencil_from_probes(measure, bpd):
+    """Solve the per-row 9-point stencil slots [self, +d0, -d0, ...] from
+    phase-probe measurements ``measure(p)`` (the Vandermonde-in-omega
+    systems described in ``galerkin_coarse_blocks``). Shared by the
+    single-device and the sharded (solvers/mg_dist.py) assemblies — the
+    algebra is elementwise per coarse row, so it is sharding-agnostic."""
+    ns = len(bpd)
     m0 = measure((0,) * ns)
     zero = cplx.zeros_like(m0)
     slots = [None] * (2 * ns + 1)  # [self, +d0, -d0, +d1, -d1, ...]
@@ -374,9 +387,7 @@ def galerkin_coarse_blocks(
         slots[2 + 2 * mu] = b_co
         diag = diag - a_co - b_co
     slots[0] = diag
-    blocks = cplx.stack(slots, axis=1)  # (nb, 9, ne, ne)
-    table = jnp.asarray(block_map.neighbor_table(), jnp.int32)
-    return blocks, table
+    return slots
 
 
 def blocks_to_dense(blocks, table) -> jnp.ndarray:

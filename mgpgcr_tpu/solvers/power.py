@@ -15,14 +15,16 @@ field ``b0`` in the desired representation.
 from __future__ import annotations
 
 from mgpgcr_tpu import cplx
-from mgpgcr_tpu.solvers.gcr import gcr_solve_jit
+from mgpgcr_tpu.solvers.gcr import _allsum, gcr_solve_jit
 from mgpgcr_tpu.solvers.params import GCRParams
 
 
-def _normalize(v):
+def _normalize(v, axis_names: tuple = ()):
     import jax.numpy as jnp
 
-    return cplx.scale_real(v, 1.0 / jnp.sqrt(cplx.abs2_sum(v)))
+    return cplx.scale_real(
+        v, 1.0 / jnp.sqrt(_allsum(cplx.abs2_sum(v), axis_names))
+    )
 
 
 def inverse_power_vectors(
@@ -31,25 +33,30 @@ def inverse_power_vectors(
     n_vecs: int,
     params: GCRParams,
     n_power_iters: int = 10,
+    axis_names: tuple = (),
 ):
     """Return (n_vecs, *field_shape) approximately-orthonormal low modes,
-    stacked along a new leading axis, in b0's representation."""
-    b = _normalize(b0)
+    stacked along a new leading axis, in b0's representation.
+
+    ``axis_names``: set when running on LOCAL shards inside ``shard_map``
+    (the sharded MG setup, solvers/mg_dist.py) — every norm and
+    Gram--Schmidt dot becomes a psum and the GCR solves distribute."""
+    b = _normalize(b0, axis_names)
 
     # jitted solves: every iteration reuses one compiled executable —
     # essential for sharded operators, where eager shard_map dispatch
     # re-traces and re-partitions per call
     # vector 0: repeated inexact inverse applications (MG.h:101-105)
     for _ in range(n_power_iters):
-        b = gcr_solve_jit(a, b, params, x0=b).x
-        b = _normalize(b)
+        b = gcr_solve_jit(a, b, params, x0=b, axis_names=axis_names).x
+        b = _normalize(b, axis_names)
     vecs = [b]
 
     # vectors 1..n-1: one solve + Gram--Schmidt (MG.h:110-121)
     for _ in range(1, n_vecs):
-        w = gcr_solve_jit(a, vecs[-1], params).x
+        w = gcr_solve_jit(a, vecs[-1], params, axis_names=axis_names).x
         for v in vecs:
-            w = w - cplx.vdot(v, w) * v
-        vecs.append(_normalize(w))
+            w = w - _allsum(cplx.vdot(v, w), axis_names) * v
+        vecs.append(_normalize(w, axis_names))
 
     return cplx.stack(vecs, axis=0)
