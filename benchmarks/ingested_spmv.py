@@ -10,6 +10,13 @@ missing 8x8parsed.txt blob):
 - stencil_xla:    StencilBlockOperator, 9x roll + batched einsum
 - stencil_pallas: fused single-pass Pallas kernel (f32 blocks)
 - stencil_pallas_bf16: same, bf16 block storage (half the HBM traffic)
+- detected_dslash: ops/ingest.py factorises the matrix back into gauge
+  links + spin projectors (verified element-by-element) and routes the
+  apply through the half-spinor streaming Dslash — the format-blind
+  SpMV ceiling does not apply once the structure is recovered, because
+  the kernel moves 18 link values per hop instead of a 144-value block
+  (timed as the full A = I - kD apply, i.e. including the axpy the
+  other variants don't even do)
 
 Prints JSON lines {variant, us_per_apply, gnnz_per_s, vs_min_traffic,
 vs_block_stream, vs_vpu}; three bounds per variant:
@@ -39,6 +46,46 @@ import sys
 import time
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+
+def measure_vpu_rate() -> float:
+    """Measured f32 VPU mul+add rate (real ops/s): one fused elementwise
+    kernel running a 128-deep multiply-add chain (2 ops per element per
+    step) over a 4M-element array — 256 ops per byte-pair of HBM traffic,
+    so the fusion is compute-bound by >3x on any TPU generation. This is
+    the practical ceiling for the SpMV kernel's op mix (the VPU does the
+    complex MACs; 12x12 blocks never touch the MXU)."""
+    import jax
+    import jax.numpy as jnp
+
+    elems = 4 * 1024 * 1024
+    depth = 128
+    inner = 50
+    xx = jnp.arange(elems, dtype=jnp.float32) * 1e-7
+    a = jnp.float32(0.999)
+    b = jnp.float32(1e-6)
+
+    @jax.jit
+    def chain(v, a, b):
+        # 50 fused 128-deep mul-add chains in ONE dispatch — per-call
+        # tunnel latency amortised the same way ``timeit`` does below
+        def body(_, w):
+            for _ in range(depth):
+                w = w * a + b
+            return w
+
+        return jax.lax.fori_loop(0, inner, body, v)
+
+    out = chain(xx, a, b)
+    float(jnp.sum(out))  # true sync through the tunnel
+    reps = 5
+    t0 = time.perf_counter()
+    v = xx
+    for _ in range(reps):
+        v = chain(v, a, b)
+    float(jnp.sum(v))
+    dt = (time.perf_counter() - t0) / (reps * inner)
+    return elems * depth * 2 / dt
 
 
 def main() -> int:
@@ -93,11 +140,29 @@ def main() -> int:
 
     x = cplx.random(jax.random.PRNGKey(1), (n,), rdt)
 
-    # minimal ingested-format traffic: vals (8B) + cols (4B) per nnz,
-    # x + y once (8B per element); measured v5e DMA ceiling ~475 GB/s
     bw = 8.19e11 if on_tpu else 5e10
-    min_bytes = nnz * 12 + 2 * n * 8
-    sol_apps = bw / min_bytes
+    vpu_rate = measure_vpu_rate()
+    print(f"# measured VPU f32 rate: {vpu_rate/1e12:.2f} Top/s", file=sys.stderr)
+
+    nb = st.n_blocks
+    k_slots, ne = st.blocks.shape[1], st.ne
+    block_elems = nb * k_slots * ne * ne
+    # kernel compute: per stored block element, 4 real mul + 4 real add
+    # (complex MAC), issued j-column-at-a-time on (ne, r) vregs that pad
+    # ne=12 -> 16 sublanes (spmv.py kernel loop)
+    ne_pad = -(-ne // 8) * 8
+    vpu_ops = nb * k_slots * ne * ne_pad * 8
+
+    def bounds(value_bytes: float) -> dict:
+        # min_traffic: true-nnz vals at this precision + 4B cols + x,y once
+        min_bytes = nnz * (value_bytes + 4) + 2 * n * 8
+        # block_stream: this variant's own dense block tensor + x,y once
+        stream_bytes = block_elems * value_bytes + 2 * n * 8
+        return {
+            "min_apps": bw / min_bytes,
+            "stream_apps": bw / stream_bytes,
+            "vpu_apps": vpu_rate / vpu_ops,
+        }
 
     def timeit(op):
         apply_n = jax.jit(
@@ -115,19 +180,83 @@ def main() -> int:
         float(jnp.sum(out.re))
         return (time.perf_counter() - t0) / (50 * reps)
 
+    # detection-routed native path: factorise D and stream links instead
+    # of blocks (structure verified, not presumed — ops/ingest.py)
+    from mgpgcr_tpu.ops.ingest import wilson_operator_from_csr
+    from mgpgcr_tpu.ops.wilson_tpu import field_to_tpu
+
+    mesh_f = LatticeMesh((*dims, 4, 3))
+    a_routed = wilson_operator_from_csr(
+        csr, dims, 0.1, dtype=rdt,
+        backend="pallas" if on_tpu else "tpu",
+        tol=1e-5,
+    )
+    x_tpu = field_to_tpu(x, mesh_f) if a_routed is not None else None
+    if a_routed is None:
+        print("# detected_dslash: matrix did not factorise", file=sys.stderr)
+
+    def timeit_routed():
+        apply_n = jax.jit(
+            lambda o, v: jax.lax.fori_loop(
+                0, 50, lambda _, w: cplx.scale_real(o.apply(w), 0.05), v
+            )
+        )
+        out = apply_n(a_routed, x_tpu)
+        float(jnp.sum(out.re))
+        reps = 5
+        t0 = time.perf_counter()
+        out = x_tpu
+        for _ in range(reps):
+            out = apply_n(a_routed, out)
+        float(jnp.sum(out.re))
+        return (time.perf_counter() - t0) / (50 * reps)
+
+    if a_routed is not None:
+        dt = timeit_routed()
+        # the honest traffic floor for the ROUTED form: links once
+        # (4 dirs * 9 values * 8B CF per site) + x + y once
+        n_sites = nb
+        link_bytes = 4 * 9 * 8 * n_sites + 2 * n * 8
+        print(
+            json.dumps(
+                {
+                    "variant": "detected_dslash",
+                    "us_per_apply": round(dt * 1e6, 1),
+                    "gnnz_per_s": round(nnz / dt / 1e9, 3),
+                    "vs_min_traffic": round(
+                        1.0 / (dt * bw / link_bytes), 4
+                    ),
+                }
+            )
+        )
+
     for name, op in variants.items():
         try:
             dt = timeit(op)
         except Exception as e:  # noqa: BLE001
             print(f"# {name}: FAILED {type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
             continue
+        # CF split re/im: 2 planes per value
+        vb = 2 * (2 if "bf16" in name else 4)
+        b = bounds(vb)
+        binding = (
+            "hbm" if b["stream_apps"] < b["vpu_apps"] else "vpu"
+        )
         print(
             json.dumps(
                 {
                     "variant": name,
                     "us_per_apply": round(dt * 1e6, 1),
                     "gnnz_per_s": round(nnz / dt / 1e9, 3),
-                    "vs_min_traffic": round(1.0 / (dt * sol_apps), 4),
+                    "vs_min_traffic": round(1.0 / (dt * b["min_apps"]), 4),
+                    "vs_block_stream": round(
+                        1.0 / (dt * b["stream_apps"]), 4
+                    ),
+                    "vs_vpu": round(1.0 / (dt * b["vpu_apps"]), 4),
+                    "binding": binding,
+                    "vs_binding": round(
+                        1.0 / (dt * min(b["stream_apps"], b["vpu_apps"])), 4
+                    ),
                 }
             )
         )

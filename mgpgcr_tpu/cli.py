@@ -47,7 +47,10 @@ def _infer_mesh(n: int):
 
 
 def build_problem(pc, jax):
-    """ProblemConfig -> (operator A = I - kD, mesh, rhs, to_host)."""
+    """ProblemConfig -> (operator A = I - kD, mesh, rhs, to_host, layout).
+
+    ``layout`` names the field representation the returned operator and
+    rhs use ("tpu" or "flat") — MG setup must match it."""
     import jax.numpy as jnp
 
     from mgpgcr_tpu import cplx, fields
@@ -62,22 +65,45 @@ def build_problem(pc, jax):
         from mgpgcr_tpu.io import read_matrix_market, read_parsed_txt
         from mgpgcr_tpu.io.npz_cache import load_ell_npz
 
+        csr = None
         if pc.matrix.endswith(".mtx"):
-            d = read_matrix_market(pc.matrix).to_csr().to_ell()
+            csr = read_matrix_market(pc.matrix).to_csr()
+            d = csr.to_ell()
         elif pc.matrix.endswith(".npz"):
             d = load_ell_npz(pc.matrix)
         else:
-            d = read_parsed_txt(pc.matrix).to_ell()
+            csr = read_parsed_txt(pc.matrix)
+            d = csr.to_ell()
         mesh = _infer_mesh(d.shape[0])
+        if cf and csr is not None and getattr(pc, "detect", True):
+            dims = tuple(pc.lattice) or (
+                mesh.spacetime_dims if mesh is not None else None
+            )
+            if dims is not None:
+                from mgpgcr_tpu.ops.ingest import wilson_operator_from_csr
+
+                # parsed fixtures carry ~6 significant digits
+                a = wilson_operator_from_csr(
+                    csr, dims, pc.k, dtype=rdt, tol=1e-5
+                )
+                if a is not None:
+                    mesh = LatticeMesh((*dims, 4, 3))
+                    inner = a.a if hasattr(a, "a") else a
+                    rhs = cplx.random(
+                        jax.random.PRNGKey(pc.seed),
+                        inner.d.field_shape,
+                        rdt,
+                    )
+                    return a, mesh, rhs, cplx.to_numpy, "tpu"
         if cf:
             d = type(d)(cplx.ascf(d.vals, rdt), d.cols, d.n_cols)
             a = DiracOperator(d, cplx.from_scalar(pc.k, rdt))
             rhs = cplx.random(jax.random.PRNGKey(pc.seed), (d.shape[0],), rdt)
-            return a, mesh, rhs, cplx.to_numpy
+            return a, mesh, rhs, cplx.to_numpy, "flat"
         d = type(d)(d.vals.astype(cdt), d.cols, d.n_cols)
         a = DiracOperator(d, jnp.asarray(pc.k, cdt))
         rhs = fields.random_field(jax.random.PRNGKey(pc.seed), d.shape[0], cdt)
-        return a, mesh, rhs, np.asarray
+        return a, mesh, rhs, np.asarray, "flat"
 
     dims = tuple(pc.lattice) or (8, 8, 8, 8)
     mesh = LatticeMesh((*dims, 4, 3))
@@ -95,7 +121,7 @@ def build_problem(pc, jax):
         d = op_cls.build(links, mesh)
         a = DiracOperator(d, cplx.from_scalar(pc.k, rdt))
         rhs = cplx.random(jax.random.PRNGKey(pc.seed + 1), d.field_shape, rdt)
-        return a, mesh, rhs, cplx.to_numpy
+        return a, mesh, rhs, cplx.to_numpy, "tpu"
     from mgpgcr_tpu.ops.wilson import (
         WilsonDiracOperator,
         antiperiodic_t,
@@ -108,7 +134,7 @@ def build_problem(pc, jax):
     d = WilsonDiracOperator(links, mesh)
     a = DiracOperator(d, jnp.asarray(pc.k, cdt))
     rhs = fields.random_field(jax.random.PRNGKey(pc.seed + 1), mesh, cdt)
-    return a, mesh, rhs, np.asarray
+    return a, mesh, rhs, np.asarray, "flat"
 
 
 def _solve_once(cfg, jax, logger):
@@ -124,17 +150,17 @@ def _solve_once(cfg, jax, logger):
         gcr_iteration_roofline,
     )
 
-    a, mesh, rhs, to_host = build_problem(cfg.problem, jax)
+    a, mesh, rhs, to_host, layout = build_problem(cfg.problem, jax)
     precond = None
     setup_s = 0.0
     if cfg.mg is not None:
         if mesh is None:
             raise SystemExit("MG requires a lattice mesh (synthetic or inferable)")
-        # layout follows the operator representation: synthetic cf lattice
-        # problems use the TPU field layout (4,3,T,Z,Y*X); ingested-matrix
-        # problems use flat fields (CF pairs when the dtype is cf*)
+        # layout follows the operator representation (build_problem):
+        # stencil-kernel operators (synthetic cf lattices and
+        # detection-routed ingested matrices) use the TPU field layout
+        # (4,3,T,Z,Y*X); generic ingested formats use flat fields
         cf = cfg.problem.dtype.startswith("cf")
-        layout = "tpu" if (cf and not cfg.problem.matrix) else "flat"
         with annotate("mg_setup"), Timer(logger, "mg_setup") as t:
             mgp = setup_mg(
                 jax.random.PRNGKey(cfg.problem.seed + 7),
@@ -158,6 +184,10 @@ def _solve_once(cfg, jax, logger):
         "solve_s": round(t.elapsed, 4),
         "mg_setup_s": round(setup_s, 4),
     }
+    if cfg.problem.matrix and layout == "tpu":
+        # Wilson structure was detected and the solve ran on the
+        # streaming stencil kernels instead of the ingested format
+        out["detected_wilson"] = True
     # independent residual check (never trust the solver's bookkeeping)
     with annotate("refine_check"):
         r = rhs - a.apply(res.x)
@@ -168,7 +198,7 @@ def _solve_once(cfg, jax, logger):
     # archive roofline counters (SURVEY §5 obligation): one measured bare
     # operator application (jit-warm; fetch-synced, block_until_ready can
     # return early through tunneled backends) + the per-iteration estimate
-    if mesh is not None and not cfg.problem.matrix:
+    if mesh is not None and (not cfg.problem.matrix or layout == "tpu"):
         t0 = _time.perf_counter()
         y = a.apply(rhs)
         float(cplx.abs2_sum(y))
@@ -345,6 +375,8 @@ def _config_from_args(args):
         pc = dataclasses.replace(pc, seed=args.seed)
     if getattr(args, "antiperiodic", False):
         pc = dataclasses.replace(pc, antiperiodic=True)
+    if getattr(args, "no_detect", False):
+        pc = dataclasses.replace(pc, detect=False)
     gcr = cfg.gcr
     if getattr(args, "tol", None) is not None:
         gcr = dataclasses.replace(gcr, tol=args.tol)
@@ -429,6 +461,13 @@ def _add_common(p):
         dest="residual_refresh",
         type=int,
         help="recompute true residual every N iterations (f32 deep solves)",
+    )
+    p.add_argument(
+        "--no-detect",
+        dest="no_detect",
+        action="store_true",
+        help="skip Wilson-structure detection for ingested matrices "
+        "(keep the generic ELL/stencil compute format)",
     )
     p.add_argument("--mg", action="store_true", help="enable MG preconditioner")
     p.add_argument(

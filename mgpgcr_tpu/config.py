@@ -27,6 +27,10 @@ class ProblemConfig:
     seed: int = 0
     dtype: str = "complex128"  # complex128 | complex64 | cf32 | cf64
     antiperiodic: bool = False  # anti-periodic temporal BC (synthetic only)
+    detect: bool = True  # factorise ingested Wilson matrices back into
+    # links + projectors (ops/ingest.py) and route the solve through the
+    # streaming stencil kernels; falls back to the generic ingested
+    # formats when the matrix does not verify (cf dtypes only)
 
 
 @dataclass(frozen=True)

@@ -20,10 +20,24 @@ becomes contiguous shifted windows of a VMEM-resident x:
 - inner-dim wraps select between the unwrapped and wrapped windows with
   an iota coordinate mask (no data-dependent control flow);
 - the block tensor is streamed exactly once per apply, lane-major
-  (K, ne, ne, nb) so the HBM->VMEM DMA moves long contiguous runs — the
-  block tensor is ~95% of the minimal HBM traffic, so streaming it at
-  full bandwidth IS the roofline;
+  (K, ne_col, ne_row, nb) with the x-column index j outermost-but-one so
+  every per-(s, j) block read in the compute loop is one contiguous
+  (ne_row, r) tile;
 - y is written exactly once; the whole SpMV is one pass, one kernel.
+
+Measured binding constraints (benchmarks/spmv_probe.py, interleaved
+in-session A/B against throttling drift): the full kernel runs at
+max(dma_only, vpu_only) with the two floors EQUAL within noise — compute
+and block-stream DMA are fully overlapped, and the kernel sits at the
+crossover where both bind. The VPU floor is ~4x the naive
+8-real-ops-per-block-element model: the 12->16 sublane pad (+33%), the
+per-(s, j) broadcast/accumulate instruction mix, and single-issue vector
+scheduling all land on the same ALUs. Consequences: (a) bf16 block
+storage buys little here (it halves DMA but adds upcasts to an already
+compute-co-bound loop — measured ~10%); (b) the remaining levers are
+algorithmic: detect structure in the ingested matrix and move less —
+Wilson-structured matrices route to the half-spinor streaming Dslash
+(ops/ingest.py), which moves ~9x fewer value bytes per nnz.
 
 Split re/im (cplx.CF) arrays throughout; reduced-precision (bf16) block
 storage is supported and halves the dominant traffic term.
@@ -50,7 +64,7 @@ def _strides(dims: tuple[int, ...]) -> list[int]:
 
 
 def _stencil_spmv_kernel(
-    b_re, b_im,    # (K, ne, ne, R) block slab for this row tile
+    b_re, b_im,    # (K, ne_col, ne_row, R) block slab for this row tile
     xp_re, xp_im,  # (ne, nb + 2P) padded x, VMEM-resident (constant window)
     out_re, out_im,  # (ne, R)
     *,
@@ -103,13 +117,17 @@ def _stencil_spmv_kernel(
     yr = jnp.zeros((ne, r), fdt)
     yi = jnp.zeros((ne, r), fdt)
     for s, g in enumerate(gathered):
-        br = b_re[s].astype(fdt)  # (ne, ne, R); upcast if bf16 storage
-        bi = b_im[s].astype(fdt)
         for j in range(ne):
+            # slab is (K, ne_col, ne_row, R): [s, j] is one CONTIGUOUS
+            # (ne_row, R) tile — a middle-dim j index on a row-major
+            # (K, ne_row, ne_col, R) slab would be a sublane-strided
+            # VMEM read repeated K*ne times per grid step
+            br = b_re[s, j].astype(fdt)
+            bi = b_im[s, j].astype(fdt)
             gr = g.re[j : j + 1, :]
             gi = g.im[j : j + 1, :]
-            yr = yr + br[:, j, :] * gr - bi[:, j, :] * gi
-            yi = yi + br[:, j, :] * gi + bi[:, j, :] * gr
+            yr = yr + br * gr - bi * gi
+            yi = yi + br * gi + bi * gr
     out_re[...] = yr
     out_im[...] = yi
 
@@ -119,7 +137,10 @@ def _pick_tile(nb: int) -> int:
     128-aligned tile starts) when nb allows, else the whole row range
     (interpreter-mode / tiny problems)."""
     if nb % 128 == 0:
-        return 256 if nb % 256 == 0 else 128
+        for cand in (512, 256, 128):
+            if nb % cand == 0 and nb // cand >= 4:
+                return cand
+        return 128
     return nb
 
 
@@ -144,7 +165,13 @@ def stencil_spmv(
 
     # lane-major relayouts (loop-invariant: XLA hoists them out of solver
     # while_loops, so per-iteration cost is the kernel alone)
-    bt = cplx.transpose(blocks, (1, 2, 3, 0))  # (K, ne, ne, nb)
+    # j (the x-column index) outermost-but-one so the kernel's per-(s, j)
+    # block read is one contiguous (ne_row, r) tile (a middle-dim j index
+    # would be a sublane-strided VMEM read repeated K*ne times per step —
+    # measured 1.5x slower; pre-tiling the slab to rank-5 per-step
+    # contiguous runs was measured 2x SLOWER still, Mosaic's strided
+    # multi-row window DMA beats its rank-5 block handling)
+    bt = cplx.transpose(blocks, (1, 3, 2, 0))  # (K, ne_col, ne_row, nb)
     xt = cplx.transpose(x.reshape(nb, ne), (1, 0))  # (ne, nb)
     reps = -(-rpad // nb)  # cyclic right pad (covers tiny interpret runs)
     right = cplx.concatenate([xt] * reps, axis=1)[:, :rpad]

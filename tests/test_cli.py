@@ -159,6 +159,35 @@ def test_solve_mg_cf_matrix():
     assert out["converged"] and out["indep_relres"] < 1e-5
 
 
+@pytest.mark.skipif(not os.path.exists(FIXTURE), reason="fixture unavailable")
+def test_solve_matrix_detection_routes_to_stencil():
+    """cf dtypes factorise the ingested fixture into links + projectors
+    (ops/ingest.py) and solve on the streaming stencil kernels; the
+    independent residual proves the routed operator IS the ingested
+    matrix (gamma_t-conjugated basis and all)."""
+    args = [
+        "solve", "--platform", "cpu",
+        "--matrix", FIXTURE,
+        "--dtype", "cf64", "--k", "0.12",
+        "--tol", "1e-8", "--max-iter", "300", "--restart", "5",
+    ]
+    r = _run(args, timeout=600)
+    assert r.returncode == 0, r.stderr
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out.get("detected_wilson") is True
+    assert out["converged"] and out["indep_relres"] < 1e-7
+
+    r2 = _run(args + ["--no-detect"], timeout=600)
+    assert r2.returncode == 0, r2.stderr
+    out2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert "detected_wilson" not in out2
+    assert out2["converged"]
+    # same spectrum => same iteration count (the routed operator is a
+    # unitary conjugation of the ingested one; rhs seeds differ in layout
+    # so allow a couple of iterations of slack)
+    assert abs(out["iters"] - out2["iters"]) <= 3
+
+
 def test_config_roundtrip(tmp_path):
     from mgpgcr_tpu.config import (
         RunConfig,
