@@ -489,7 +489,8 @@ def _add_common(p):
         help="block extent at levels >= 2",
     )
     p.add_argument(
-        "--coarse-format", dest="coarse_format", choices=["dense", "bsr"],
+        "--coarse-format", dest="coarse_format",
+        choices=["dense", "bsr", "stencil"],
         help="coarse operator storage",
     )
     p.add_argument(

@@ -390,6 +390,37 @@ def stencil_from_probes(measure, bpd):
     return slots
 
 
+def build_coarse_operator(blocks, table, coarse_format: str, bpd):
+    """Coarse operator in the requested compute format from the
+    phase-probed stencil blocks (nb, 9, ne, ne) + neighbor table.
+
+    - "dense": one (nc, nc) matrix, MXU matvec — best for small coarse
+      grids (the reference's only format, a dense Eigen solve feed);
+    - "bsr": block-ELL batched einsum (HierarchicalSparse.h:102-161);
+    - "stencil": ``StencilBlockOperator`` over the block lattice — the
+      same fused single-pass Pallas SpMV the ingested-matrix path uses
+      (ops/pallas/spmv.py), picked for large coarse grids on TPU. The
+      Galerkin operator IS a 9-point block stencil (the locality argument
+      in ``galerkin_coarse_blocks``), so the formats agree exactly;
+      duplicate +-mu slots on short block-lattice extents hold zeros, and
+      a zero block contributes nothing under any of the three applies.
+    """
+    if coarse_format == "stencil":
+        from mgpgcr_tpu.ops.blockstencil import StencilBlockOperator
+
+        nb = blocks.shape[0]
+        on_tpu = jax.devices()[0].platform == "tpu"
+        backend = (
+            "pallas" if (on_tpu and cplx.is_cf(blocks) and nb % 128 == 0)
+            else "xla"
+        )
+        return StencilBlockOperator(blocks, tuple(int(b) for b in bpd),
+                                    backend)
+    if coarse_format == "bsr":
+        return BlockSparseOperator(blocks, table)
+    return DenseOperator(blocks_to_dense(blocks, table))
+
+
 def blocks_to_dense(blocks, table) -> jnp.ndarray:
     """(nb, 9, ne, ne) stencil blocks -> dense Galerkin matrix (nc, nc)."""
     nb, k, ne, _ = blocks.shape
@@ -479,14 +510,18 @@ def setup_mg(
     ne = 2 * params.n_nullvecs
     if params.assembly == "phased":
         blocks, table = galerkin_coarse_blocks(a, q, block_map, layout)
-        if params.coarse_format == "bsr":
-            coarse = BlockSparseOperator(blocks, table)
-        else:
-            coarse = DenseOperator(blocks_to_dense(blocks, table))
+        coarse = build_coarse_operator(
+            blocks, table, params.coarse_format, block_map.blocks_per_dim
+        )
     else:  # per-block-column sweep: no stencil-locality assumption
         c = galerkin_coarse_matrix(a, q, block_map, layout)
         if params.coarse_format == "bsr":
             coarse = coarse_to_block_ell(c, block_map, ne)
+        elif params.coarse_format == "stencil":
+            raise ValueError(
+                "coarse_format='stencil' requires the phase-probed "
+                "assembly (assembly='phased')"
+            )
         else:
             coarse = DenseOperator(c)
 

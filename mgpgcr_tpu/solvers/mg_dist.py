@@ -43,14 +43,12 @@ from jax.sharding import PartitionSpec as P
 from mgpgcr_tpu import cplx
 from mgpgcr_tpu.mesh import LatticeMesh
 from mgpgcr_tpu.ops.base import LinearOperator
-from mgpgcr_tpu.ops.bsr import BlockSparseOperator
-from mgpgcr_tpu.ops.dense import DenseOperator
 from mgpgcr_tpu.ops.dirac import DiracOperator
 from mgpgcr_tpu.ops.pallas.dslash import PallasWilsonDirac
 from mgpgcr_tpu.solvers.gcr import gcr_solve
 from mgpgcr_tpu.solvers.mg import (
     MGPreconditioner,
-    blocks_to_dense,
+    build_coarse_operator,
     chiral_double,
     block_orthonormalize,
     coarse_gamma5_fn,
@@ -425,10 +423,9 @@ def setup_mg_sharded(
 
     gbm = geom.mesh.blocking(geom.block)
     table = jnp.asarray(gbm.neighbor_table(), jnp.int32)
-    if params.coarse_format == "bsr":
-        coarse = BlockSparseOperator(blocks, table)
-    else:
-        coarse = DenseOperator(blocks_to_dense(blocks, table))
+    coarse = build_coarse_operator(
+        blocks, table, params.coarse_format, geom.bpd
+    )
 
     # -- deeper levels: the coarse grid is replicated, so the regular
     # single-device setup builds the rest of the hierarchy on it --

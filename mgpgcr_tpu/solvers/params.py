@@ -86,7 +86,9 @@ class MGParams:
     )
     n_pre_smooth: int = 1
     n_post_smooth: int = 1
-    coarse_format: str = "dense"  # "dense" (MXU matvec) or "bsr" (block-ELL)
+    coarse_format: str = "dense"  # "dense" (MXU matvec), "bsr" (block-ELL
+    # batched einsum), or "stencil" (fused Pallas block-stencil SpMV over
+    # the block lattice — for large coarse grids; phased assembly only)
     # Galerkin assembly strategy: "phased" activates every block column at
     # once with per-dimension root-of-unity phases and disentangles the
     # 9-point couplings from O(9) batched operator applications —

@@ -94,6 +94,42 @@ def test_mg_tpu_bsr_coarse_format(tpu_problem):
     assert float(jnp.sqrt(cplx.abs2_sum(r) / cplx.abs2_sum(b))) < 5e-8
 
 
+def test_mg_tpu_stencil_coarse_format(tpu_problem):
+    """coarse_format="stencil": the Galerkin coarse operator served by
+    the block-stencil SpMV (the ingested-matrix kernel family,
+    ops/blockstencil.py) — must apply identically to the dense format
+    and run the V-cycle. On CPU this exercises the XLA roll path; the
+    Pallas kernel itself is parity-tested in tests/test_blockstencil."""
+    from mgpgcr_tpu.ops.blockstencil import StencilBlockOperator
+
+    mesh, a_cf, _ = tpu_problem
+    params = MGParams(block=2, n_nullvecs=2, coarse_format="stencil")
+    mgp = setup_mg(jax.random.PRNGKey(3), a_cf, mesh, params, layout="tpu")
+    assert isinstance(mgp.coarse, StencilBlockOperator)
+    assert mgp.coarse.dims == (2, 2, 2, 2)
+
+    dense_params = MGParams(block=2, n_nullvecs=2, coarse_format="dense")
+    mgp_d = setup_mg(
+        jax.random.PRNGKey(3), a_cf, mesh, dense_params, layout="tpu"
+    )
+    nc = mgp.coarse.shape[0]
+    vc = cplx.ascf(fields.random_field(jax.random.PRNGKey(13), nc))
+    np.testing.assert_allclose(
+        cplx.to_numpy(mgp.coarse.apply(vc)),
+        cplx.to_numpy(mgp_d.coarse.apply(vc)),
+        atol=1e-10,
+    )
+
+    b = cplx.random(jax.random.PRNGKey(7), a_cf.d.field_shape, jnp.float64)
+    gp = GCRParams(tol=1e-8, max_iter=300, restart=5)
+    res = gcr_solve(a_cf, b, gp, precond=mgp.apply)
+    res_d = gcr_solve(a_cf, b, gp, precond=mgp_d.apply)
+    assert bool(res.converged)
+    assert int(res.n_iters) == int(res_d.n_iters)
+    r = b - a_cf.apply(res.x)
+    assert float(jnp.sqrt(cplx.abs2_sum(r) / cplx.abs2_sum(b))) < 5e-8
+
+
 def test_tpu_and_flat_mg_build_same_coarse_space(tpu_problem):
     """Same null vectors in → same Galerkin coarse matrix (up to the
     orthonormalisation's basis choice, checked via subspace projectors)."""
