@@ -22,6 +22,7 @@ import numpy as np
 
 from mgpgcr_tpu import cplx
 from mgpgcr_tpu.mesh import LatticeMesh
+from mgpgcr_tpu.ops.blockstencil import StencilBlockOperator
 from mgpgcr_tpu.ops.bsr import BlockSparseOperator
 from mgpgcr_tpu.ops.dense import DenseOperator
 from mgpgcr_tpu.solvers.mg import MGPreconditioner
@@ -61,6 +62,7 @@ def _collect_level(mgp: MGPreconditioner, p: str, arrays: dict) -> dict:
         arrays[p + "q"] = np.asarray(mgp.q)
 
     coarse = mgp.coarse
+    extra = {}
     if isinstance(coarse, DenseOperator):
         coarse_kind = "dense"
         cdata = coarse.a
@@ -68,6 +70,11 @@ def _collect_level(mgp: MGPreconditioner, p: str, arrays: dict) -> dict:
         coarse_kind = "bsr"
         cdata = coarse.blocks
         arrays[p + "coarse_cols"] = np.asarray(coarse.block_cols)
+    elif isinstance(coarse, StencilBlockOperator):
+        coarse_kind = "stencil"
+        cdata = coarse.blocks
+        extra["coarse_dims"] = list(coarse.dims)
+        extra["coarse_backend"] = coarse.backend
     else:
         raise TypeError(f"unsupported coarse operator {type(coarse)!r}")
     if cplx.is_cf(cdata):
@@ -84,6 +91,7 @@ def _collect_level(mgp: MGPreconditioner, p: str, arrays: dict) -> dict:
         "n_spacetime": mgp.block_map.mesh.n_spacetime,
         "block_dims": list(mgp.block_map.block_dims),
         "params": _params_to_dict(mgp.params),
+        **extra,
     }
 
 
@@ -115,6 +123,10 @@ def _load_level(z, p: str, meta: dict, a, coarse_precond) -> MGPreconditioner:
         cdata = jnp.asarray(z[p + "coarse"])
     if meta["coarse_kind"] == "dense":
         coarse = DenseOperator(cdata)
+    elif meta["coarse_kind"] == "stencil":
+        coarse = StencilBlockOperator(
+            cdata, tuple(meta["coarse_dims"]), meta["coarse_backend"]
+        )
     else:
         coarse = BlockSparseOperator(cdata, jnp.asarray(z[p + "coarse_cols"]))
     return MGPreconditioner(

@@ -69,6 +69,7 @@ def _gcr_step_kernel(
     lim: int,
     compressed: bool,
     s_rows: int,
+    anti_t: bool = False,
 ):
     """refs tail: [as_re, as_im (lim-1 rows at plane i, if lim > 1)],
     uc_re, uc_im, ul_re, ul_im, az_re, az_im, orp_re, orp_im, r2_ref,
@@ -174,13 +175,20 @@ def _gcr_step_kernel(
     psi_slabs = [center[s] for s in range(4)]
     out = [None] * 4
 
-    g = colour_mul(
-        u_mu(0), project_half([nxt[s] for s in range(4)], 0, True), dagger=False
-    )
+    # anti-periodic temporal BC: sign the projected half-spinors of the
+    # two boundary-wrapping t hops, links stay pristine SU(3) (same
+    # in-kernel formulation as the plain streaming Dslash, dslash.py)
+    hf = project_half([nxt[s] for s in range(4)], 0, True)
+    if anti_t:
+        sf = jnp.where(i == nt - 1, -1.0, 1.0).astype(fdt)
+        hf = [cplx.CF(hq.re * sf, hq.im * sf) for hq in hf]
+    g = colour_mul(u_mu(0), hf, dagger=False)
     out = accumulate_half(out, g, 0, True)
-    w = colour_mul(
-        ut_prev, project_half([prev[s] for s in range(4)], 0, False), dagger=True
-    )
+    hb = project_half([prev[s] for s in range(4)], 0, False)
+    if anti_t:
+        sb = jnp.where(i == 0, -1.0, 1.0).astype(fdt)
+        hb = [cplx.CF(hq.re * sb, hq.im * sb) for hq in hb]
+    w = colour_mul(ut_prev, hb, dagger=True)
     out = accumulate_half(out, w, 0, False)
 
     for mu in (1, 2, 3):
@@ -250,7 +258,8 @@ def _gcr_step_kernel(
     us_im[slot2] = u0.im.astype(fdt)
 
 
-def gcr_stream_step(links, r, aps, alpha, k, lim: int, mesh):
+def gcr_stream_step(links, r, aps, alpha, k, lim: int, mesh,
+                    anti_t: bool = False):
     """Fused (r', az, ||r'||^2, raw) for one unpreconditioned GCR
     iteration using the direction stack row ``lim - 1``:
 
@@ -259,7 +268,9 @@ def gcr_stream_step(links, r, aps, alpha, k, lim: int, mesh):
         raw = <aps[0:lim], az>       (rows >= lim return 0)
 
     links: t-major (T, 4, R, 3, Z, V) CF (R = 3 full | 2 compressed), any
-    storage dtype; r: (4, 3, T, Z, V) CF; aps: (S, 4, 3, T, Z, V) CF."""
+    storage dtype; r: (4, 3, T, Z, V) CF; aps: (S, 4, 3, T, Z, V) CF.
+    ``anti_t`` applies the anti-periodic temporal boundary sign in-kernel
+    (pristine SU(3) links; composes with two-row compression)."""
     t, z, y, xx = mesh.spacetime_dims
     v = y * xx
     nt = t
@@ -343,11 +354,12 @@ def gcr_stream_step(links, r, aps, alpha, k, lim: int, mesh):
         lim=lim,
         compressed=nrow == 2,
         s_rows=s_rows,
+        anti_t=anti_t,
     )
     kwargs = {}
     if not _interpret():
         kwargs["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=117 * 1024 * 1024
+            vmem_limit_bytes=121 * 1024 * 1024
         )
     az_re, az_im, orp_re, orp_im, r2, raw, apr = pl.pallas_call(
         kernel,

@@ -482,7 +482,7 @@ def gcr_stream_step_local(
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=117 * 1024 * 1024
+            vmem_limit_bytes=121 * 1024 * 1024
         )
     az_re, az_im, orp_re, orp_im, r2, raw, apr = pl.pallas_call(
         kernel,

@@ -445,8 +445,6 @@ def _mega_step_config(a, precond):
         return None
     if not _links_is_tmajor(d.links):
         return None
-    if d.anti_t:  # the one-pass kernel has no in-kernel BC path (yet)
-        return None
     if d.device_mesh is not None:  # use gcr_solve_sharded for device meshes
         return None
     t, z, y, xx = d.mesh.spacetime_dims
@@ -455,7 +453,9 @@ def _mega_step_config(a, precond):
     from mgpgcr_tpu.ops.pallas import gcr_dslash as gds
 
     def step(r, aps, alpha, lim):
-        return gds.gcr_stream_step(d.links, r, aps, alpha, a.k, lim, d.mesh)
+        return gds.gcr_stream_step(
+            d.links, r, aps, alpha, a.k, lim, d.mesh, anti_t=d.anti_t
+        )
 
     return step
 
@@ -730,9 +730,8 @@ def gcr_solve_eager(
         fused = params.fused
     if fused and cplx.is_cf(rhs) and not params.residual_refresh:
         return _gcr_solve_eager_fused(a, rhs, params, precond, x0, check_every)
-    apply_a = a.apply if hasattr(a, "apply") else a
-    apply_a = jax.jit(apply_a)
-    apply_m = jax.jit(precond) if precond is not None else None
+    apply_a = _jit_bound_apply(a.apply if hasattr(a, "apply") else a)
+    apply_m = _jit_bound_apply(precond) if precond is not None else None
     rdtype = cplx.real_dtype(rhs)
 
     x = cplx.zeros_like(rhs) if x0 is None else x0
@@ -795,6 +794,85 @@ def gcr_solve_eager(
         res_history=jnp.sqrt(jnp.asarray(hist, rdtype)),
     )
 
+# --- module-level jitted iteration bundles for the eager fused loop ---
+# These MUST be top-level (not per-solve closures): jax.jit caches on the
+# function object, so a closure re-jitted inside every gcr_solve_eager
+# call recompiles all ~7 Pallas bundles per solve — measured 9 s/solve at
+# 32^4 vs ~10 ms/iter warm. Donation is load-bearing too: the kernels
+# update x/r and the direction stacks IN PLACE via input/output aliasing,
+# and a jit boundary copies any aliased argument that is not donated
+# (~12 GB of stack copies per iteration at 32^4 restart 5).
+@partial(jax.jit, static_argnames=("s", "rdt"))
+def _eager_init_stacks(z, az, r, s, rdt):
+    ps = cplx.stack_zeros(s, z).at[0].set(z)
+    aps = cplx.stack_zeros(s, az).at[0].set(az)
+    ap2 = cplx.abs2_sum(az).astype(rdt)
+    norms = jnp.zeros((s,), rdt).at[0].set(ap2)
+    return ps, aps, norms, ap2, cplx.vdot(az, r)
+
+
+@partial(jax.jit, static_argnames=("rdt",), donate_argnums=(0, 1))
+def _eager_k1(x, r, ps, aps, slot, apr, ap2, rdt):
+    from mgpgcr_tpu.ops.pallas import gcr_kernels as gk
+
+    alpha = _div_real(apr, ap2, jnp.dtype(rdt))
+    x, r, r2 = gk.update_xr(x, r, ps, aps, slot, alpha)
+    return x, r, r2.astype(rdt)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("lim", "wipe", "rdt"),
+    donate_argnums=(3, 4, 5),
+)
+def _eager_k23(z, az, r, ps, aps, norms, slot, lim, wipe, rdt):
+    from mgpgcr_tpu.ops.pallas import gcr_kernels as gk
+
+    raw = gk.beta_dots(aps, az, lim=lim)
+    betas = cplx.where(
+        norms > 0,
+        _div_real(raw, norms.astype(raw.dtype), jnp.dtype(rdt)),
+        cplx.zeros_like(raw),
+    )
+    if wipe:
+        norms = jnp.zeros_like(norms)
+    ps, aps, apn, apr = gk.dir_update(
+        z, az, r, ps, aps, betas, slot, lim=lim
+    )
+    apn = apn.astype(rdt)
+    norms = norms.at[slot].set(apn)
+    return ps, aps, norms, apn, apr
+
+
+_BOUND_APPLY_CACHE: dict = {}
+
+
+def _jit_bound_apply(fn):
+    """jit a per-iteration apply WITHOUT baking its array state into the
+    compiled program. ``jax.jit(a.apply)`` closes over the operator, so
+    its leaves (e.g. a 32^4 link tensor, ~300 MB f32) lower as HLO
+    constants — the tunneled backend's remote-compile path rejects the
+    request (HTTP 413). Bound methods of pytree objects are re-jitted
+    with the object as an ARGUMENT (device buffers passed by reference);
+    anything else falls back to a plain jit."""
+    self_obj = getattr(fn, "__self__", None)
+    if self_obj is not None and jax.tree_util.tree_leaves(self_obj):
+        raw = fn.__func__
+        # cache the jit wrapper per underlying function: a fresh
+        # jax.jit(raw) per solve call would own a fresh compile cache
+        # and re-trace/re-compile on every solve
+        jfn = _BOUND_APPLY_CACHE.get(raw)
+        if jfn is None:
+            jfn = jax.jit(raw)
+            _BOUND_APPLY_CACHE[raw] = jfn
+        return lambda v: jfn(self_obj, v)
+    jfn = _BOUND_APPLY_CACHE.get(fn)
+    if jfn is None:
+        jfn = jax.jit(fn)
+        _BOUND_APPLY_CACHE[fn] = jfn
+    return jfn
+
+
 def _gcr_solve_eager_fused(
     a, rhs, params: GCRParams, precond, x0, check_every: int
 ) -> SolveResult:
@@ -808,16 +886,22 @@ def _gcr_solve_eager_fused(
     ``_gcr_solve_fused`` (same kernels, same ordering — GCR.h:222-288)."""
     from mgpgcr_tpu.ops.pallas import gcr_kernels as gk
 
-    apply_a = jax.jit(a.apply if hasattr(a, "apply") else a)
-    apply_m = jax.jit(precond) if precond is not None else None
+    apply_a = _jit_bound_apply(a.apply if hasattr(a, "apply") else a)
+    apply_m = _jit_bound_apply(precond) if precond is not None else None
     rdtype = cplx.real_dtype(rhs)
     S = params.storage_size
     restart = params.restart if params.restart else params.max_iter + 1
     ring = bool(params.truncation)
     with_r = precond is not None  # unpreconditioned: z IS r (K3 reuses it)
 
-    x = cplx.zeros_like(rhs) if x0 is None else x0
-    r = rhs - apply_a(x) if x0 is not None else rhs
+    # k1 DONATES x and r each iteration, so neither may alias a
+    # caller-owned buffer (rhs / x0) — copy once at entry
+    x = (
+        cplx.zeros_like(rhs)
+        if x0 is None
+        else jax.tree.map(jnp.copy, x0)
+    )
+    r = rhs - apply_a(x) if x0 is not None else jax.tree.map(jnp.copy, rhs)
     bn2 = float(cplx.abs2_sum(rhs))
     if bn2 == 0.0:
         return SolveResult(
@@ -829,37 +913,19 @@ def _gcr_solve_eager_fused(
         )
     tol2 = params.tol**2 * bn2
 
-    @jax.jit
+    rdt_name = jnp.dtype(rdtype).name
+
     def init_stacks(z, az, r):
-        ps = cplx.stack_zeros(S, z).at[0].set(z)
-        aps = cplx.stack_zeros(S, az).at[0].set(az)
-        ap2 = cplx.abs2_sum(az).astype(rdtype)
-        norms = jnp.zeros((S,), rdtype).at[0].set(ap2)
-        return ps, aps, norms, ap2, cplx.vdot(az, r)
+        return _eager_init_stacks(z, az, r, S, rdt_name)
 
-    @jax.jit
     def k1(x, r, ps, aps, slot, apr, ap2):
-        alpha = _div_real(apr, ap2, rdtype)
-        x, r, r2 = gk.update_xr(x, r, ps, aps, slot, alpha)
-        return x, r, r2.astype(rdtype)
+        return _eager_k1(x, r, ps, aps, slot, apr, ap2, rdt_name)
 
-    @partial(jax.jit, static_argnames=("lim", "wipe"))
     def k23(z, az, r, ps, aps, norms, slot, lim, wipe):
-        raw = gk.beta_dots(aps, az, lim=lim)
-        betas = cplx.where(
-            norms > 0,
-            _div_real(raw, norms.astype(raw.dtype), rdtype),
-            cplx.zeros_like(raw),
+        return _eager_k23(
+            z, az, r if with_r else None, ps, aps, norms, slot,
+            lim, wipe, rdt_name,
         )
-        if wipe:
-            norms = jnp.zeros_like(norms)
-        r_arg = r if with_r else None
-        ps, aps, apn, apr = gk.dir_update(
-            z, az, r_arg, ps, aps, betas, slot, lim=lim
-        )
-        apn = apn.astype(rdtype)
-        norms = norms.at[slot].set(apn)
-        return ps, aps, norms, apn, apr
 
     rel0 = 1.0 if x0 is None else float(cplx.abs2_sum(r)) / bn2
     z = apply_m(r) if apply_m is not None else r

@@ -147,3 +147,46 @@ def test_tpu_and_pallas_paths_inherit_bc():
     np.testing.assert_allclose(
         cplx.to_numpy(got_pallas), cplx.to_numpy(ref_t), atol=1e-12
     )
+
+
+def test_fused_one_pass_gcr_respects_bc():
+    """The one-pass fused GCR step (ops/pallas/gcr_dslash.py) applies the
+    anti-periodic sign in-kernel: the fused cycles solver on an
+    anti_t PallasWilsonDirac matches the generic while_loop solver's
+    trajectory on the same operator (round-3: previously this combination
+    silently fell back to the split kernels)."""
+    from mgpgcr_tpu.ops.dirac import DiracOperator
+    from mgpgcr_tpu.solvers.gcr import _mega_step_config, gcr_solve
+    from mgpgcr_tpu.solvers.params import GCRParams
+
+    mesh = LatticeMesh(DIMS)
+    links = random_links(jax.random.PRNGKey(2), mesh)
+    k = cplx.from_scalar(0.12, jnp.float64)
+    d = PallasWilsonDirac.build(
+        cplx.ascf(links, jnp.float64), mesh, interpret=True,
+        antiperiodic_t=True,
+    )
+    a = DiracOperator(d, k)
+    assert _mega_step_config(a, None) is not None  # one-pass step taken
+    rhs = cplx.random(jax.random.PRNGKey(3), d.field_shape, jnp.float64)
+
+    fused = gcr_solve(
+        a, rhs, GCRParams(tol=1e-9, max_iter=100, restart=5, fused=True)
+    )
+    plain = gcr_solve(
+        a, rhs, GCRParams(tol=1e-9, max_iter=100, restart=5, fused=False)
+    )
+    assert bool(fused.converged)
+    assert int(fused.n_iters) == int(plain.n_iters)
+    np.testing.assert_allclose(
+        cplx.to_numpy(fused.x), cplx.to_numpy(plain.x), atol=1e-8
+    )
+    # the solution satisfies the ANTI-PERIODIC operator (link-flip oracle)
+    ref_op = WilsonDiracOperator(antiperiodic_t(links), mesh)
+    from mgpgcr_tpu.ops.wilson_tpu import field_from_tpu
+
+    x_can = cplx.to_numpy(field_from_tpu(fused.x, mesh, flat=False))
+    rhs_can = cplx.to_numpy(field_from_tpu(rhs, mesh, flat=False))
+    r = rhs_can - (x_can - 0.12 * np.asarray(ref_op.apply(jnp.asarray(x_can))))
+    rel = np.linalg.norm(r.ravel()) / np.linalg.norm(rhs_can.ravel())
+    assert rel < 1e-8

@@ -177,6 +177,22 @@ def test_mg_checkpoint_roundtrip(tpu_problem, tmp_path):
         np.asarray(mgp_cx.apply(rx)), np.asarray(mgp_cx2.apply(rx))
     )
 
+    # stencil coarse format round-trips too (round 3)
+    from mgpgcr_tpu.ops.blockstencil import StencilBlockOperator
+
+    params_st = MGParams(block=2, n_nullvecs=2, coarse_format="stencil")
+    mgp_st = setup_mg(
+        jax.random.PRNGKey(3), a_cf, mesh, params_st, layout="tpu"
+    )
+    p3 = tmp_path / "mg_st.npz"
+    save_mg_setup(p3, mgp_st)
+    mgp_st2 = load_mg_setup(p3, a_cf)
+    assert isinstance(mgp_st2.coarse, StencilBlockOperator)
+    assert mgp_st2.coarse.dims == mgp_st.coarse.dims
+    np.testing.assert_array_equal(
+        cplx.to_numpy(mgp_st.apply(r)), cplx.to_numpy(mgp_st2.apply(r))
+    )
+
 
 def test_three_level_mg(tpu_problem, tmp_path):
     """n_level=3: recursive coarsening of the block lattice. The reference
