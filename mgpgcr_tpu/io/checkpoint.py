@@ -17,6 +17,7 @@ import dataclasses
 import json
 import os
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -129,6 +130,12 @@ def _load_level(z, p: str, meta: dict, a, coarse_precond) -> MGPreconditioner:
         )
     else:
         coarse = BlockSparseOperator(cdata, jnp.asarray(z[p + "coarse_cols"]))
+    q_field = None
+    if meta["layout"] == "tpu":
+        # derived, not stored: same bytes as q, pure relayout
+        from mgpgcr_tpu.solvers.mg import field_basis
+
+        q_field = jax.jit(lambda v: field_basis(v, block_map))(q)
     return MGPreconditioner(
         a=a,
         q=q,
@@ -137,6 +144,7 @@ def _load_level(z, p: str, meta: dict, a, coarse_precond) -> MGPreconditioner:
         params=params,
         layout=meta["layout"],
         coarse_precond=coarse_precond,
+        q_field=q_field,
     ), coarse
 
 

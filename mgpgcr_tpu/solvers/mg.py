@@ -85,6 +85,71 @@ def prolong(q, block_map: BlockMap, xc, layout: str = "flat"):
 
 
 # ---------------------------------------------------------------------------
+# field-shaped transfer operators (TPU layout fast path)
+# ---------------------------------------------------------------------------
+def field_basis(q, block_map: BlockMap):
+    """Blocked basis (ne, nb, bl) -> field-shaped (ne, 4, 3, T, Z, Y*X).
+
+    The per-apply blocked relayout (``to_blocked_tpu``/``from_blocked_tpu``,
+    a rank-8 shuffle XLA tiles badly on the 8-lane minor dims) was measured
+    ~15x off HBM bandwidth at 32^4 — 23-25 ms each way, dominating the
+    V-cycle. Storing ONE extra relayout of the basis (same bytes as q)
+    makes the transfers reshape-only: block membership in the TPU layout
+    (4,3,T,Z,Y*X) is a pure reshape T->(Bt,bt), Z->(Bz,bz),
+    Y*X->(By,by,Bx,bx), so restrict/prolong become segmented reductions /
+    broadcasts with NO data movement (restrict_field / prolong_field;
+    measured 2.2x faster than the relayout form at 32^4 block 8)."""
+    import jax as _jax
+
+    return _jax.lax.map(block_map.from_blocked_tpu, q)
+
+
+def _block_split(block_map: BlockMap):
+    bpd = block_map.blocks_per_dim
+    b = block_map.block_dims
+    return (bpd[0], b[0], bpd[1], b[1], bpd[2], b[2], bpd[3], b[3])
+
+
+def restrict_field(q_field, block_map: BlockMap, x):
+    """R x on TPU-layout fields with a field-shaped basis: contract
+    spin+colour, then block sums via pure reshapes. Output matches
+    ``restrict``'s (nb*ne,) layout (b-major, e-minor)."""
+    ne = q_field.shape[0]
+    split = _block_split(block_map)
+    p = cplx.einsum2("escTZV,scTZV->eTZV", cplx.conj(q_field), x)
+    p = p.reshape((ne,) + split)  # (e, Bt,bt, Bz,bz, By,by, Bx,bx)
+    rc = cplx.CF(
+        p.re.sum(axis=(2, 4, 6, 8)), p.im.sum(axis=(2, 4, 6, 8))
+    )  # (e, Bt, Bz, By, Bx)
+    nb = block_map.n_blocks
+    rc = cplx.transpose(rc.reshape(ne, nb), (1, 0))  # tiny
+    return rc.reshape(nb * ne)
+
+
+def prolong_field(q_field, block_map: BlockMap, xc):
+    """P xc on TPU-layout fields with a field-shaped basis: broadcast the
+    per-block coefficients over block interiors (reshape-only), one
+    complex multiply-accumulate over e."""
+    ne = q_field.shape[0]
+    nb = block_map.n_blocks
+    split = _block_split(block_map)
+    t, z, y, xx = block_map.mesh.spacetime_dims
+    xcb = cplx.transpose(xc.reshape(nb, ne), (1, 0)).reshape(
+        (ne,) + tuple(s if i % 2 == 0 else 1 for i, s in enumerate(split))
+    )
+
+    def bcast(v):
+        return jnp.broadcast_to(
+            v, (ne,) + split
+        ).reshape(ne, 1, 1, t, z, y * xx)
+
+    cr, ci = bcast(xcb.re), bcast(xcb.im)
+    re = (q_field.re * cr - q_field.im * ci).sum(axis=0)
+    im = (q_field.re * ci + q_field.im * cr).sum(axis=0)
+    return cplx.CF(re, im)
+
+
+# ---------------------------------------------------------------------------
 # preconditioner
 # ---------------------------------------------------------------------------
 @dataclasses.dataclass(frozen=True)
@@ -100,15 +165,23 @@ class MGPreconditioner(LinearOperator):
     # link storage, ops/wilson_tpu.with_link_dtype): preconditioner-side
     # accuracy is forgiving, the outer residual still uses the exact a
     a_smooth: "LinearOperator | None" = None
+    # field-shaped copy of q (TPU layout only): makes restrict/prolong
+    # reshape-only segmented ops instead of per-apply blocked relayouts
+    # (see ``field_basis``); same bytes as q, derived at setup / on load
+    q_field: "jnp.ndarray | None" = None
 
     @property
     def shape(self) -> tuple[int, int]:
         return self.a.shape
 
     def restrict(self, x):
+        if self.q_field is not None and x.ndim == 5:
+            return restrict_field(self.q_field, self.block_map, x)
         return restrict(self.q, self.block_map, x, self.layout)
 
     def prolong(self, xc):
+        if self.q_field is not None and xc.ndim == 1:
+            return prolong_field(self.q_field, self.block_map, xc)
         return prolong(self.q, self.block_map, xc, self.layout)
 
     def _smooth(self, rhs, x, n: int):
@@ -151,7 +224,8 @@ class MGPreconditioner(LinearOperator):
 
 jax.tree_util.register_dataclass(
     MGPreconditioner,
-    data_fields=["a", "q", "coarse", "coarse_precond", "a_smooth"],
+    data_fields=["a", "q", "coarse", "coarse_precond", "a_smooth",
+                 "q_field"],
     meta_fields=["block_map", "params", "layout"],
 )
 
@@ -544,6 +618,11 @@ def setup_mg(
                 _level=_level + 1,
                 _cf=cplx.is_cf(q),
             )
+    q_field = (
+        jax.jit(lambda v: field_basis(v, block_map))(q)
+        if layout == "tpu"
+        else None
+    )
     return MGPreconditioner(
         a=a,
         q=q,
@@ -553,6 +632,7 @@ def setup_mg(
         layout=layout,
         coarse_precond=coarse_precond,
         a_smooth=smoother_operator,
+        q_field=q_field,
     )
 
 
