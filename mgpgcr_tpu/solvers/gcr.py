@@ -245,8 +245,19 @@ def _gcr_solve_fused(
     # lengths (no lax.switch/cond around the big aliased stacks — XLA
     # copies conditionally-touched buffers every iteration, measured +3
     # to +6 ms/iter at 32^4) plus deferred-x accumulation. Truncation mode
-    # and residual_refresh keep the dynamic single-loop form below.
-    if params.restart and not params.residual_refresh and params.restart <= 16:
+    # and residual_refresh keep the dynamic single-loop form below, as do
+    # preconditioned solves under unroll="auto"/"loop": the unrolled body
+    # contains R copies of the preconditioner's whole V-cycle, which
+    # overruns remote-compile size limits at scale (params.unroll doc).
+    unroll_ok = params.unroll == "cycles" or (
+        params.unroll == "auto" and precond is None
+    )
+    if (
+        params.restart
+        and not params.residual_refresh
+        and params.restart <= 16
+        and unroll_ok
+    ):
         return _gcr_solve_fused_cycles(a, rhs, params, precond, x0, axis_names)
 
     apply_a = a.apply if hasattr(a, "apply") else a

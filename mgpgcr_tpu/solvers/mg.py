@@ -174,15 +174,40 @@ class MGPreconditioner(LinearOperator):
     def shape(self) -> tuple[int, int]:
         return self.a.shape
 
+    def _pallas_transfers(self) -> bool:
+        be = self.params.transfer_backend
+        if be == "xla" or self.q_field is None:
+            return False
+        return be == "pallas" or jax.default_backend() == "tpu"
+
     def restrict(self, x):
         if self.q_field is not None and x.ndim == 5:
+            if self._pallas_transfers():
+                from mgpgcr_tpu.ops.pallas.transfer import restrict_pallas
+
+                return restrict_pallas(self.q_field, self.block_map, x)
             return restrict_field(self.q_field, self.block_map, x)
         return restrict(self.q, self.block_map, x, self.layout)
 
-    def prolong(self, xc):
+    def prolong(self, xc, base=None, damping: float = 1.0):
+        """P xc, optionally fused with the correction's additive base:
+        returns base + damping * P xc in ONE streaming pass on the Pallas
+        path (the XLA fallback composes the same result)."""
         if self.q_field is not None and xc.ndim == 1:
-            return prolong_field(self.q_field, self.block_map, xc)
-        return prolong(self.q, self.block_map, xc, self.layout)
+            if self._pallas_transfers():
+                from mgpgcr_tpu.ops.pallas.transfer import prolong_pallas
+
+                return prolong_pallas(
+                    self.q_field, self.block_map, xc, r=base, damping=damping
+                )
+            out = prolong_field(self.q_field, self.block_map, xc)
+        else:
+            out = prolong(self.q, self.block_map, xc, self.layout)
+        if damping != 1.0:
+            out = cplx.scale_real(
+                out, jnp.asarray(damping, cplx.real_dtype(out))
+            )
+        return out if base is None else base + out
 
     def _smooth(self, rhs, x, n: int):
         sp = self.params.smoother_gcr
@@ -200,21 +225,22 @@ class MGPreconditioner(LinearOperator):
         the reference's config of record, main.cpp:840-858; a pure
         P C^-1 P^H would be rank-deficient and stall the outer GCR)."""
 
-        def coarse_correct(res):
+        def coarse_correct(res, base):
+            """base + damping * P C^-1 P^H res (base fused into the
+            prolong pass on the Pallas transfer path)."""
             cp = self.coarse_precond.apply if self.coarse_precond is not None else None
             ec = gcr_solve(
                 self.coarse, self.restrict(res), self.params.coarse_gcr, precond=cp
             ).x
-            return cplx.scale_real(
-                self.prolong(ec),
-                jnp.asarray(self.params.correction_damping, cplx.real_dtype(r)),
+            return self.prolong(
+                ec, base=base, damping=self.params.correction_damping
             )
 
         if self.params.smoother_gcr is None:
-            return r + coarse_correct(r)
+            return coarse_correct(r, r)
         x = cplx.zeros_like(r)
         x = self._smooth(r, x, self.params.n_pre_smooth)
-        x = x + coarse_correct(r - self.a.apply(x))
+        x = coarse_correct(r - self.a.apply(x), x)
         x = self._smooth(r, x, self.params.n_post_smooth)
         return x
 
@@ -623,6 +649,9 @@ def setup_mg(
         if layout == "tpu"
         else None
     )
+    if q_field is not None and params.transfer_dtype is not None:
+        tdt = jnp.dtype(params.transfer_dtype)
+        q_field = cplx.CF(q_field.re.astype(tdt), q_field.im.astype(tdt))
     return MGPreconditioner(
         a=a,
         q=q,

@@ -36,6 +36,15 @@ class GCRParams:
     # interpreter mode on non-TPU backends. Off for small/coarse solves
     # where kernel launches outweigh the traffic saved.
     fused: bool = False
+    # Fused-path body form: "cycles" unrolls one whole restart cycle in
+    # the trace (static slots/prefixes, z-basis, the one-pass mega step —
+    # fastest, but the HLO contains R copies of everything inside the
+    # loop, including a preconditioner's whole V-cycle); "loop" keeps the
+    # dynamic single-iteration while_loop body (one V-cycle in the
+    # program — compiles where the unrolled form exceeds remote-compile
+    # size limits, e.g. whole-solve-jitted MG-GCR at 32^4). "auto":
+    # cycles when unpreconditioned, loop when a preconditioner is set.
+    unroll: str = "auto"
 
     def __post_init__(self):
         if self.restart and self.truncation:
@@ -106,6 +115,18 @@ class MGParams:
     # blocking apply again verbatim.
     n_level: int = 2
     coarse_block: int = 2  # spacetime block extent at levels >= 2
+    # Grid-transfer execution (TPU layout only): "auto" streams restrict/
+    # prolong through the Pallas transfer kernels (ops/pallas/transfer.py)
+    # on TPU backends and falls back to the XLA reshape forms elsewhere;
+    # "xla" / "pallas" force a path. The Pallas kernels fuse the additive
+    # base of the correction (x += damping * P xc) into the prolong pass.
+    transfer_backend: str = "auto"
+    # Storage dtype for the field-shaped transfer basis q_field (None =
+    # the solve dtype). The basis dominates transfer traffic (ne field
+    # copies per pass); "bfloat16" halves it. Preconditioner-side rounding
+    # only — the outer Krylov residual never touches the basis (same
+    # rationale as bf16 gauge links for the smoother).
+    transfer_dtype: str | None = None
 
     @property
     def n_coarse_per_block(self) -> int:
