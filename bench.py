@@ -2,9 +2,9 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} — the
 production-configuration fused Pallas Dslash (t-plane streaming kernel,
-t-major bf16 gauge-link storage, f32 fields) on a 32^4 lattice. Also
-writes BENCH_DETAIL.json with every measured variant (f32 links, bf16
-links, GCR iteration time) for round-over-round regression tracking.
+t-major gauge-link storage, f32 fields) on a 32^4 lattice. Also writes
+BENCH_DETAIL.json with every measured variant, per-round samples, and a
+dispersion/variance section for round-over-round regression tracking.
 
 The hot kernel of the whole framework is the Wilson--Dirac hopping-operator
 application (the reference's CSR SpMV, Operator.h:331-346, costed at
@@ -18,25 +18,38 @@ HBM-bandwidth roofline (819 GB/s spec for v5e) for the minimal traffic of
 one application with everything stored f32 (links + field in, field out).
 bf16 link storage and two-row SU(3) compression are production
 optimizations *against that fixed baseline* (standard lattice-QCD gauge
-compression), so they legitimately raise vs_baseline; the f32 number is
-also recorded in BENCH_DETAIL.json.
+compression), so they legitimately raise vs_baseline; the f32 numbers are
+also recorded in BENCH_DETAIL.json (`f32_links_2row` is the
+same-precision production variant: f32 arithmetic, exact SU(3) row-2
+reconstruction — the apples-to-apples number against the f32 roofline).
 
-Timing methodology: the reported number is the BARE kernel time from the
-chain-difference estimator in ``_time_apply`` (see its docstring), which
-removes the field-sized harness passes a naive timing loop adds around
-every application. It was validated against jax.profiler device traces:
-dslash_apply = 577.8 us/apply on-device vs 593 us estimated (within 3%)
-at 32^4 bf16 two-row links. NOTE on DEVICE_BW.json: the XLA-copy probe
-(~400 GB/s combined) UNDERestimates the chip — the same trace shows
-XLA's own elementwise fusions streaming at ~640 GB/s and the fused
-kernel at ~520 GB/s of combined traffic, so spec-ish bandwidth is real
-and the roofline denominator keeps the 819 GB/s spec. Timings are
-best-of-3 measurement rounds: the tunnel exhibits minutes-scale
-throttling swings, and the minimum is the standard noise-robust
-estimator.
+Measurement protocol (round 4 — variance-defensible numbers):
+- N_ROUNDS >= 5 measurement rounds, each round timing EVERY variant plus
+  a passthrough CONTROL (a pure XLA read+write stream of one field),
+  interleaved A/B/.../control so a throttling episode on the tunneled
+  device shows up in the control of the same round instead of silently
+  biasing one variant.
+- Per variant the artifact records all per-round samples, min / median /
+  max and the relative spread (max-min)/median. The headline value is the
+  MIN across rounds (the standard noise-robust estimator for a device
+  whose only noise source is slowdown).
+- The control's per-round GB/s is the session throttle index: if the
+  control is depressed in the same rounds as a variant, the dip is
+  environmental, not a kernel regression.
+
+Timing methodology per sample: the BARE kernel time from the
+chain-difference estimator (time bodies with 2 and 4 chained applies;
+(t4 - t2)/2 cancels the one field-sized harness pass each body pays —
+see _chain_time). Validated against jax.profiler device traces (within
+3%: 577.8 us traced vs 593 us estimated, 32^4 bf16 2-row links).
+Loop-in-jit: separate dispatches through the tunnel measure round-trip
+latency, not the kernel.
 
 Links are random complex (not SU(3)-projected) — identical memory/compute
 shape, skips a minutes-long host-side QR that would dominate bench time.
+Exactness of the 2-row reconstruction for real SU(3) links is tested in
+tests/test_pallas.py, so the production with_compressed_links SU(3) guard
+is bypassed here via the raw layout helper.
 """
 
 from __future__ import annotations
@@ -44,6 +57,7 @@ from __future__ import annotations
 import json
 import sys
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -59,6 +73,8 @@ from mgpgcr_tpu.ops.pallas.dslash import (
 from mgpgcr_tpu.ops.wilson_tpu import TpuWilsonDirac, with_link_dtype
 from mgpgcr_tpu.solvers.gcr import gcr_solve
 from mgpgcr_tpu.solvers.params import GCRParams
+
+N_ROUNDS = 5
 
 # HBM bandwidth (bytes/s) per chip by TPU generation; conservative defaults.
 _HBM_BW = {
@@ -80,69 +96,74 @@ def _chip_bandwidth() -> float:
     return _HBM_BW["cpu"]
 
 
-def _time_chain(op, psi, napply: int, rounds: int, inner: int) -> float:
-    """Seconds per fori_loop iteration whose body is ``napply`` chained
-    kernel applications plus one scale pass (loop-in-jit: separate
-    dispatches through the tunnel measure round-trip latency, not the
-    kernel). True-fetch sync; best-of-``rounds`` against throttling."""
+@partial(jax.jit, static_argnames=("napply", "inner"))
+def _apply_chain(op, x, napply: int, inner: int):
+    # op is a traced ARGUMENT (device buffers by reference): closing over
+    # it bakes the link arrays into the HLO as constants and the tunneled
+    # backend rejects the remote-compile request (HTTP 413). Module-level
+    # jit so repeated rounds share one compile cache.
     scale = 0.05**napply
 
-    @jax.jit
-    def apply_n(op, x):
-        # op must be the traced argument: closing over the outer `op`
-        # bakes the link arrays into the HLO as constants, and the
-        # tunneled backend rejects the remote-compile request (HTTP 413)
-        def body(_, v):
-            for _ in range(napply):
-                v = op.apply(v)
-            return cplx.scale_real(v, scale)
+    def body(_, v):
+        for _ in range(napply):
+            v = op.apply(v)
+        return cplx.scale_real(v, scale)
 
-        return jax.lax.fori_loop(0, inner, body, x)
-    out = apply_n(op, psi)
-    float(jnp.sum(out.re))  # absorbs the backend's one-time first-sync stall
-    best = float("inf")
-    for _ in range(rounds):
-        t0 = time.perf_counter()
-        out = apply_n(op, psi)
-        float(jnp.sum(out.re))  # device-to-host fetch = reliable full sync
-        best = min(best, (time.perf_counter() - t0) / inner)
-    return best
+    return jax.lax.fori_loop(0, inner, body, x)
 
 
-def _time_apply(op, psi, rounds: int = 3) -> float:
-    """Seconds per bare kernel application, isolated from harness passes.
-
-    A timing loop must keep the chain live, and any way of doing that
-    costs HBM passes that are NOT the kernel: an elementwise scale between
-    applies is a full field read+write, and threading a pallas output
-    through a fori_loop carry makes XLA insert a field-sized copy at the
-    loop boundary (measured: a chain of bare applies runs ~450 us/apply
-    SLOWER than the same chain with an interposed scale pass). Timing
-    bodies with 2 and 4 chained applies shares one such overhead per body,
-    so the difference (t4 - t2)/2 is the kernel alone. (Longer chains
-    sharpen the estimate but trip the tunneled backend's remote-compile
-    request-size limit, HTTP 413.) Kernel-level counter-check:
-    jax.profiler device traces agree with this estimator within a few
-    percent (577.8 us traced vs 593 us estimated, 32^4 bf16 2-row)."""
-    t2 = _time_chain(op, psi, 2, rounds, inner=40)
-    t4 = _time_chain(op, psi, 4, rounds, inner=25)
-    return max((t4 - t2) / 2, 1e-9)
-
-
-def _time_gcr_iteration(a, rhs, fused: bool, rounds: int = 3) -> float:
-    """Seconds per GCR iteration (restart 5, fixed 60 iterations),
-    best-of-``rounds``."""
-    params = GCRParams(tol=0.0, max_iter=60, restart=5, fused=fused)
-    solve = jax.jit(lambda a, b: gcr_solve(a, b, params).x)
-    out = solve(a, rhs)
+def _chain_time(op, psi, napply: int, inner: int) -> float:
+    """Seconds per fori_loop body of ``napply`` chained applications plus
+    one scale pass. True-fetch sync (device-to-host fetch — the tunnel's
+    block_until_ready is unreliable). ONE sample; the caller interleaves
+    rounds across variants."""
+    t0 = time.perf_counter()
+    out = _apply_chain(op, psi, napply, inner)
     float(jnp.sum(out.re))
-    best = float("inf")
-    for _ in range(rounds):
-        t0 = time.perf_counter()
-        out = solve(a, rhs)
-        float(jnp.sum(out.re))
-        best = min(best, (time.perf_counter() - t0) / 60)
-    return best
+    return (time.perf_counter() - t0) / inner
+
+
+@partial(jax.jit, static_argnames=("inner",))
+def _control_chain(x, inner: int):
+    return jax.lax.fori_loop(0, inner, lambda _, v: cplx.scale_real(v, 0.999), x)
+
+
+def _control_time(psi, inner: int = 60) -> float:
+    """Seconds per pure read+write streaming pass over one field — the
+    passthrough control whose per-round throughput indexes device
+    throttling independent of any kernel under test."""
+    t0 = time.perf_counter()
+    out = _control_chain(psi, inner)
+    float(jnp.sum(out.re))
+    return (time.perf_counter() - t0) / inner
+
+
+@partial(jax.jit, static_argnames=("params",))
+def _gcr_fixed_iters(a, b, params):
+    return gcr_solve(a, b, params).x
+
+
+def _gcr_iteration_time(a, rhs, fused: bool, n_iter: int = 60) -> float:
+    """Seconds per GCR iteration (restart 5, fixed ``n_iter`` iterations).
+    ONE sample; caller interleaves rounds."""
+    params = GCRParams(tol=0.0, max_iter=n_iter, restart=5, fused=fused)
+    t0 = time.perf_counter()
+    out = _gcr_fixed_iters(a, rhs, params)
+    float(jnp.sum(out.re))
+    return (time.perf_counter() - t0) / n_iter
+
+
+def _stats(samples: list[float]) -> dict:
+    s = sorted(samples)
+    n = len(s)
+    med = s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
+    return {
+        "min": s[0],
+        "median": med,
+        "max": s[-1],
+        "rel_spread": (s[-1] - s[0]) / med if med else 0.0,
+        "n": n,
+    }
 
 
 def main() -> None:
@@ -155,11 +176,6 @@ def main() -> None:
     links = cplx.random(jax.random.PRNGKey(0), (4, 3, 3, t, z, y * xx), rdtype)
     if on_tpu:
         op32 = PallasWilsonDirac(links_to_tmajor(links), mesh)
-        # two-row (12-real) SU(3) compression: identical compute/memory
-        # shape on these random links (values are wrong, timing is exact;
-        # exactness for real SU(3) links is tested in tests/test_pallas.py
-        # — so the production with_compressed_links SU(3) guard is
-        # bypassed here via the raw layout helper)
         op32c = PallasWilsonDirac(compress_links_tmajor(op32.links), mesh)
         op16c = with_link_dtype(op32c, jnp.bfloat16)
     else:  # CPU smoke path: XLA slab implementation, same layout/semantics
@@ -178,53 +194,109 @@ def main() -> None:
     sol_apps = _chip_bandwidth() / bytes_per_app
     sol_nnz = eff_nnz * sol_apps
 
+    variants = [("f32_links", op32), ("bf16_links", op16)]
+    if op16c is not None:
+        variants += [("f32_links_2row", op32c), ("bf16_links_2row", op16c)]
+    a16 = DiracOperator(op16, cplx.from_scalar(0.1, rdtype))
+
+    n_rounds = N_ROUNDS if on_tpu else 2
+    # warm-up: compile every program and absorb the backend's one-time
+    # first-sync stall before any timed round. MUST use the exact
+    # (napply, inner) static parameters of the timed rounds — each pair is
+    # its own jit specialization, and a mismatched warm-up leaves the
+    # compile inside measurement round 1 (tens of ms/apply outliers).
+    _control_time(psi)
+    for _, op in variants:
+        _chain_time(op, psi, 2, inner=40)
+        _chain_time(op, psi, 4, inner=25)
+    _gcr_iteration_time(a16, psi, fused=on_tpu)
+
+    # interleaved measurement rounds: control + every variant per round
+    control_bytes = 2 * 2 * 12 * v * jnp.zeros((), rdtype).dtype.itemsize
+    samples: dict[str, list[float]] = {name: [] for name, _ in variants}
+    gcr_samples: list[float] = []
+    control_gbps: list[float] = []
+    for _ in range(n_rounds):
+        control_gbps.append(control_bytes / _control_time(psi) / 1e9)
+        for name, op in variants:
+            t2 = _chain_time(op, psi, 2, inner=40)
+            t4 = _chain_time(op, psi, 4, inner=25)
+            samples[name].append(max((t4 - t2) / 2, 1e-9))
+        gcr_samples.append(_gcr_iteration_time(a16, psi, fused=on_tpu))
+
     detail = {
         "lattice": list(dims),
         "device": jax.devices()[0].device_kind,
         "estimator": "bare kernel via chain-difference (t4-t2)/2; "
-        "profiler-validated (see _time_apply)",
+        "profiler-validated (see module docstring)",
+        "protocol": f"{n_rounds} interleaved rounds x (control + all "
+        "variants); headline = min across rounds",
+        "control": {
+            "what": "pure XLA read+write stream of one field (throttle index)",
+            "gbps_per_round": [round(g, 1) for g in control_gbps],
+            **{
+                k: round(v, 4) if k == "rel_spread" else round(v, 1)
+                for k, v in _stats(control_gbps).items()
+            },
+        },
     }
-    variants = [("f32_links", op32), ("bf16_links", op16)]
-    if op16c is not None:
-        # f32_links_2row is the SAME-PRECISION production variant: f32
-        # arithmetic, exact row-2 reconstruction for SU(3) links — the
-        # apples-to-apples number against the f32-traffic roofline
-        variants += [("f32_links_2row", op32c), ("bf16_links_2row", op16c)]
+
     times = {}
-    for name, op in variants:
-        dt = _time_apply(op, psi)
+    for name, _ in variants:
+        st = _stats(samples[name])
+        dt = st["min"]
         times[name] = dt
         detail[name] = {
             "us_per_apply": round(dt * 1e6, 1),
             "gnnz_per_s": round(eff_nnz / dt / 1e9, 3),
             "vs_f32_roofline": round((eff_nnz / dt) / sol_nnz, 4),
+            "us_per_round": [round(s * 1e6, 1) for s in samples[name]],
+            "us_median": round(st["median"] * 1e6, 1),
+            "rel_spread": round(st["rel_spread"], 4),
         }
-        print(f"# {name}: {dt*1e6:.0f} us/apply, "
-              f"{eff_nnz/dt/1e9:.1f} Gnnz/s "
-              f"({(eff_nnz/dt)/sol_nnz:.3f} of f32 roofline)", file=sys.stderr)
+        print(
+            f"# {name}: {dt*1e6:.0f} us/apply (median "
+            f"{st['median']*1e6:.0f}, spread {st['rel_spread']*100:.1f}%), "
+            f"{eff_nnz/dt/1e9:.1f} Gnnz/s "
+            f"({(eff_nnz/dt)/sol_nnz:.3f} of f32 roofline)",
+            file=sys.stderr,
+        )
 
-    # solve-level regression metric: fused-kernel GCR iteration time
-    a16 = DiracOperator(op16, cplx.from_scalar(0.1, rdtype))
-    it_fused = _time_gcr_iteration(a16, psi, fused=on_tpu)
+    gst = _stats(gcr_samples)
     detail["gcr_iteration"] = {
         "restart": 5,
         "fused": on_tpu,
-        "ms_per_iter": round(it_fused * 1e3, 3),
+        "ms_per_iter": round(gst["min"] * 1e3, 3),
+        "ms_median": round(gst["median"] * 1e3, 3),
+        "ms_per_round": [round(s * 1e3, 3) for s in gcr_samples],
+        "rel_spread": round(gst["rel_spread"], 4),
     }
-    print(f"# GCR iteration (restart 5, fused={on_tpu}): "
-          f"{it_fused*1e3:.2f} ms/iter", file=sys.stderr)
+    print(
+        f"# GCR iteration (restart 5, fused={on_tpu}): "
+        f"{gst['min']*1e3:.2f} ms/iter (median {gst['median']*1e3:.2f})",
+        file=sys.stderr,
+    )
 
+    # production configs by deployment role (see ops/pallas/dslash.py
+    # with_compressed_links): bf16 3-row links = the speed config
+    # (~1.5e-3 link rounding, preconditioner/smoother side); f32 2-row =
+    # the same-precision config (exact for SU(3), outer-residual side).
+    head = min(times, key=times.get) if on_tpu else "bf16_links"
+    best = times[head]
+    nnz_per_s = eff_nnz / best
+    detail["headline_variant"] = head
+    if "f32_links_2row" in times:
+        detail["same_precision_headline"] = {
+            "variant": "f32_links_2row",
+            "gnnz_per_s": detail["f32_links_2row"]["gnnz_per_s"],
+            "vs_f32_roofline": detail["f32_links_2row"]["vs_f32_roofline"],
+        }
     try:
         with open("BENCH_DETAIL.json", "w") as f:
             json.dump(detail, f, indent=1)
     except OSError:
         pass
 
-    # production config = the fastest storage variant (all are the same
-    # operator; storage tricks are exact-for-SU(3) or ~1e-3, see tests)
-    head = min(times, key=times.get) if on_tpu else "bf16_links"
-    best = times[head]
-    nnz_per_s = eff_nnz / best
     print(
         f"# headline: {head} production config, lattice {dims}, "
         f"{best*1e6:.0f} us/apply, device={jax.devices()[0].device_kind}",
