@@ -209,6 +209,36 @@ class WilsonDiracOperator(LinearOperator):
         return self.mesh.to_flat(out) if flat else out
 
 
+def dirac_apply_np(
+    links: np.ndarray, mesh: LatticeMesh, x: np.ndarray, k: complex = 0.0
+) -> np.ndarray:
+    """A x = x - k D x in pure numpy complex128 — the ground-truth
+    residual operator for mixed-precision iterative refinement
+    (solvers/refine.py). Host-only by construction: needs neither the
+    jax_enable_x64 flag nor any backend (the tunneled TPU has no complex
+    support, and flipping x64 on mid-process breaks f32 Pallas tracing).
+
+    Same stencil and flat index convention ((site*4 + spinor)*3 + colour,
+    sites row-major t,z,y,x) as ``WilsonDiracOperator``; k = 0 gives the
+    bare hopping D. Reference operator: Operator.h:570-574.
+    """
+    links = np.asarray(links, np.complex128)
+    st = mesh.spacetime_dims
+    psi = np.asarray(x, np.complex128).reshape(*st, 4, 3)
+    out = np.zeros_like(psi)
+    for mu in range(4):
+        u = links[mu]
+        fwd = np.roll(psi, -1, axis=mu)
+        fwd = np.einsum("tzyxab,tzyxsb->tzyxsa", u, fwd)
+        out += np.einsum("ij,tzyxjc->tzyxic", P_MINUS[mu], fwd)
+        udag = np.roll(u.conj().swapaxes(-1, -2), 1, axis=mu)
+        bwd = np.roll(psi, 1, axis=mu)
+        bwd = np.einsum("tzyxab,tzyxsb->tzyxsa", udag, bwd)
+        out += np.einsum("ij,tzyxjc->tzyxic", P_PLUS[mu], bwd)
+    res = psi - k * out if k else out
+    return res.reshape(-1)
+
+
 # ---------------------------------------------------------------------------
 # explicit assembly (synthetic fixture generator)
 # ---------------------------------------------------------------------------

@@ -34,6 +34,15 @@ class RefineResult:
     n_refine: int  # refinement rounds taken
     final_relres: float  # true complex128 relative residual
     history: list  # relres after each round (history[0] = initial 1.0)
+    # inner low-precision solver iterations per refinement round (filled
+    # by wrappers that can observe them, e.g. wilson_refined_solve); the
+    # reference's iterations-to-tol metric (main.cpp k sweeps) maps to
+    # sum(inner_iters) on the refined TPU path
+    inner_iters: list = dataclasses.field(default_factory=list)
+
+    @property
+    def total_inner_iters(self) -> int:
+        return int(sum(self.inner_iters))
 
 
 def refined_solve(
@@ -95,12 +104,17 @@ def wilson_refined_solve(
         a_lo.d.links if hasattr(a_lo, "d") else a_lo.links
     )
 
+    inner_iters: list = []
+
     def solve_lo(r_np: np.ndarray) -> np.ndarray:
         # scale into f32 range, solve on the accelerator, scale back
         scale = np.max(np.abs(r_np)) or 1.0
         r_cf = field_to_tpu(cplx.from_numpy(r_np / scale, rdt), mesh)
         res = gcr_solve_jit(a_lo, r_cf, inner_params, precond=precond)
+        inner_iters.append(int(res.n_iters))
         dx = cplx.to_numpy(field_from_tpu(res.x, mesh))
         return dx * scale
 
-    return refined_solve(solve_lo, apply_hi, rhs, tol=tol, max_refine=max_refine)
+    out = refined_solve(solve_lo, apply_hi, rhs, tol=tol, max_refine=max_refine)
+    out.inner_iters = inner_iters
+    return out
