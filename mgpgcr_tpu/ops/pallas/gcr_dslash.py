@@ -392,3 +392,288 @@ def gcr_stream_step(links, r, aps, alpha, k, lim: int, mesh,
     # apr rows [0:lim] = <ap_j, r'>; row s_rows = <az, r'>
     apr_cf = cplx.CF(apr[:, 0], apr[:, 1])
     return rp, az, r2[0, 0], raw_cf, apr_cf
+
+
+def _gcr_z_kernel(
+    scal_ref,      # (1, 2) SMEM: k.re, k.im
+    zn_re, zn_im,  # z plane (i+1) % nt              (4, 3, 1, Z, V)
+    z0_re, z0_im,  # z plane 0 (constant)
+    zq_re, zq_im,  # z plane nt-1 (constant)
+    rp_re, rp_im,  # residual plane i (apr dots only)
+    *refs,
+    y: int,
+    xx: int,
+    nt: int,
+    lim: int,
+    compressed: bool,
+    s_rows: int,
+    anti_t: bool = False,
+):
+    """Preconditioned one-pass step: az = (I - kD) z with the beta-dot
+    and alpha-numerator reductions riding the same plane streaming.
+
+    refs tail: as_re, as_im (lim stored-direction rows at plane i),
+    uc_re, uc_im, ul_re, ul_im, az_re, az_im, raw_ref, apr_ref, then
+    scratch: zs_re, zs_im, us_re, us_im."""
+    refs = list(refs)
+    zs_re, zs_im, us_re, us_im = refs[-4:]
+    del refs[-4:]
+    as_re, as_im = refs[0], refs[1]
+    del refs[:2]
+    (uc_re, uc_im, ul_re, ul_im, az_re, az_im, raw_ref, apr_ref) = refs
+
+    i = pl.program_id(0)
+    two = jnp.asarray(2, jnp.asarray(i).dtype)
+    slot2 = lax.rem(i, two)
+    prev2 = lax.rem(i + 1, two)  # (i - 1) % 2
+    fdt = az_re.dtype
+    kr = scal_ref[0, 0]
+    ki = scal_ref[0, 1]
+
+    def full_u(cf: cplx.CF) -> cplx.CF:
+        return _reconstruct_su3(cf, fdt) if compressed else cf
+
+    @pl.when(i == 0)
+    def _prime():
+        # z wrap planes into the t scratch parity slots (plane j -> slot
+        # j % 2; nt even): plane 0 is step 0's center, plane nt-1 its
+        # t-minus neighbour
+        zs_re[0] = z0_re[...]
+        zs_im[0] = z0_im[...]
+        zs_re[1] = zq_re[...]
+        zs_im[1] = zq_im[...]
+        ul = full_u(cplx.CF(ul_re[0, 0], ul_im[0, 0]))
+        us_re[1] = ul.re.astype(fdt)
+        us_im[1] = ul.im.astype(fdt)
+        # dot rows beyond the live prefix must be zeros, not stale SMEM
+        for j in range(lim, s_rows):
+            raw_ref[j, 0] = jnp.zeros((), fdt)
+            raw_ref[j, 1] = jnp.zeros((), fdt)
+            apr_ref[j, 0] = jnp.zeros((), fdt)
+            apr_ref[j, 1] = jnp.zeros((), fdt)
+
+    def _acc(ref, idx, value):
+        @pl.when(i == 0)
+        def _():
+            ref[idx] = value
+
+        @pl.when(i != 0)
+        def _():
+            ref[idx] += value
+
+    center = cplx.CF(zs_re[slot2], zs_im[slot2])   # z plane i
+    prev = cplx.CF(zs_re[prev2], zs_im[prev2])     # z plane i-1
+    nxt = cplx.CF(zn_re[...], zn_im[...])          # z plane i+1
+    u = cplx.CF(uc_re[0], uc_im[0])
+    ut_prev = cplx.CF(us_re[prev2], us_im[prev2])
+
+    u0 = full_u(u[0])
+
+    def u_mu(mu: int) -> cplx.CF:
+        return u0 if mu == 0 else full_u(u[mu])
+
+    v = az_re.shape[-1]
+    xcoord = lax.broadcasted_iota(jnp.int32, (1, 1, 1, v), 3) % xx
+    mask_last = xcoord == xx - 1
+    mask_first = xcoord == 0
+
+    def slab_where(mask, a: cplx.CF, b: cplx.CF) -> cplx.CF:
+        return cplx.CF(jnp.where(mask, a.re, b.re), jnp.where(mask, a.im, b.im))
+
+    def shift_local(vv: cplx.CF, mu: int, fwd: bool) -> cplx.CF:
+        if mu == 1:
+            return _cf_roll(vv, -1 if fwd else 1, 2)
+        ax = 3
+        if mu == 2:
+            return _cf_roll(vv, -xx if fwd else xx, ax)
+        if fwd:
+            return slab_where(
+                mask_last, _cf_roll(vv, xx - 1, ax), _cf_roll(vv, -1, ax)
+            )
+        return slab_where(
+            mask_first, _cf_roll(vv, -(xx - 1), ax), _cf_roll(vv, 1, ax)
+        )
+
+    psi_slabs = [center[s] for s in range(4)]
+    out = [None] * 4
+
+    hf = project_half([nxt[s] for s in range(4)], 0, True)
+    if anti_t:
+        sf = jnp.where(i == nt - 1, -1.0, 1.0).astype(fdt)
+        hf = [cplx.CF(hq.re * sf, hq.im * sf) for hq in hf]
+    g = colour_mul(u_mu(0), hf, dagger=False)
+    out = accumulate_half(out, g, 0, True)
+    hb = project_half([prev[s] for s in range(4)], 0, False)
+    if anti_t:
+        sb = jnp.where(i == 0, -1.0, 1.0).astype(fdt)
+        hb = [cplx.CF(hq.re * sb, hq.im * sb) for hq in hb]
+    w = colour_mul(ut_prev, hb, dagger=True)
+    out = accumulate_half(out, w, 0, False)
+
+    for mu in (1, 2, 3):
+        um = u_mu(mu)
+        h = project_half(psi_slabs, mu, True)
+        h = [shift_local(hq, mu, True) for hq in h]
+        g = colour_mul(um, h, dagger=False)
+        out = accumulate_half(out, g, mu, True)
+
+        w = colour_mul(um, project_half(psi_slabs, mu, False), dagger=True)
+        w = [shift_local(wq, mu, False) for wq in w]
+        out = accumulate_half(out, w, mu, False)
+
+    # az = z - k D z
+    azs = []
+    for s in range(4):
+        zr = center[s].re - (kr * out[s].re - ki * out[s].im)
+        zi = center[s].im - (kr * out[s].im + ki * out[s].re)
+        az_re[s] = zr
+        az_im[s] = zi
+        azs.append((zr, zi))
+
+    # beta numerators <ap_j, az> AND alpha-numerator feeds <ap_j, r>
+    # from the same resident direction planes; <az, r> in apr's last row.
+    # The solver recovers next iteration's <ap_new, r> by the recursion
+    # <ap_new, r> = <az, r> - sum_j conj(beta_j) <ap_j, r>, so the K3
+    # direction update never streams the residual (solvers/gcr.py).
+    for j in range(lim):
+        dj_re, dj_im = as_re[j], as_im[j]
+        acc_r = jnp.zeros((), fdt)
+        acc_i = jnp.zeros((), fdt)
+        pr_r = jnp.zeros((), fdt)
+        pr_i = jnp.zeros((), fdt)
+        for s in range(4):
+            zr, zi = azs[s]
+            acc_r += jnp.sum(dj_re[s] * zr + dj_im[s] * zi)
+            acc_i += jnp.sum(dj_re[s] * zi - dj_im[s] * zr)
+            rr, ri = rp_re[s], rp_im[s]
+            pr_r += jnp.sum(dj_re[s] * rr + dj_im[s] * ri)
+            pr_i += jnp.sum(dj_re[s] * ri - dj_im[s] * rr)
+        _acc(raw_ref, (j, 0), acc_r)
+        _acc(raw_ref, (j, 1), acc_i)
+        _acc(apr_ref, (j, 0), pr_r)
+        _acc(apr_ref, (j, 1), pr_i)
+
+    zr_r = jnp.zeros((), fdt)
+    zr_i = jnp.zeros((), fdt)
+    for s in range(4):
+        zr, zi = azs[s]
+        rr, ri = rp_re[s], rp_im[s]
+        zr_r += jnp.sum(zr * rr + zi * ri)
+        zr_i += jnp.sum(zr * ri - zi * rr)
+    _acc(apr_ref, (s_rows, 0), zr_r)
+    _acc(apr_ref, (s_rows, 1), zr_i)
+
+    # carries for step i+1
+    zs_re[prev2] = nxt.re
+    zs_im[prev2] = nxt.im
+    us_re[slot2] = u0.re.astype(fdt)
+    us_im[slot2] = u0.im.astype(fdt)
+
+
+def gcr_z_step(links, z, r, aps, k, lim: int, mesh, anti_t: bool = False):
+    """Fused (az, raw, apr) for one PRECONDITIONED GCR iteration — the
+    z != r extension of ``gcr_stream_step`` (the residual update already
+    happened in K1; z = M(r) is the V-cycle output, streamed as its own
+    stencil input):
+
+        az     = (I - k D) z
+        raw_j  = <aps_j, az>   for j < lim   (beta numerators)
+        apr_j  = <aps_j, r>    for j < lim;  apr[S] = <az, r>
+
+    One pass replaces the separate Dslash + K2 beta-dot passes and feeds
+    the alpha-numerator recursion so K3 drops its residual read — the MG
+    outer iteration's algebra reaches the plain fused path's traffic
+    shape. Layout contract identical to ``gcr_stream_step`` (z-resident
+    t-streaming, t-major links, full or two-row, nt even).
+
+    Reference loop being fused: GCR.h:222-288 with the right
+    preconditioner applied at GCR.h:236-247."""
+    t, zdim, y, xx = mesh.spacetime_dims
+    v = y * xx
+    nt = t
+    fdt = z.dtype
+    assert _links_is_tmajor(links), "gcr z step wants t-major links"
+    nrow = links.shape[2]
+    s_rows = aps.shape[0]
+
+    def vspec(shape, index_map):
+        return pl.BlockSpec(shape, index_map, memory_space=pltpu.VMEM)
+
+    fplane = (4, 3, 1, zdim, v)
+    z_specs = [
+        vspec(fplane, lambda i: (0, 0, (i + 1) % nt, 0, 0)),
+        vspec(fplane, lambda i: (0, 0, 0, 0, 0)),
+        vspec(fplane, lambda i: (0, 0, nt - 1, 0, 0)),
+    ]
+    r_spec = vspec(fplane, lambda i: (0, 0, i, 0, 0))
+    stack_spec = vspec((lim, 4, 3, 1, zdim, v), lambda i: (0, 0, 0, i, 0, 0))
+    link_specs = [
+        vspec((1, 4, nrow, 3, zdim, v), lambda i: (i, 0, 0, 0, 0, 0)),
+        vspec((1, 1, nrow, 3, zdim, v), lambda i: (nt - 1, 0, 0, 0, 0, 0)),
+    ]
+
+    in_specs = [pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)]
+    for sp in z_specs + [r_spec]:
+        in_specs += [sp, sp]
+    in_specs += [stack_spec, stack_spec]
+    for sp in link_specs:
+        in_specs += [sp, sp]
+
+    out_specs = (
+        vspec(fplane, lambda i: (0, 0, i, 0, 0)),
+        vspec(fplane, lambda i: (0, 0, i, 0, 0)),
+        pl.BlockSpec((s_rows, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((s_rows + 1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+    )
+
+    scal = jnp.stack(
+        [jnp.asarray(k.re, fdt), jnp.asarray(k.im, fdt)]
+    ).reshape(1, 2)
+
+    aps_s = aps.re.reshape(s_rows, 4, 3, t, zdim, v)
+    aps_i = aps.im.reshape(s_rows, 4, 3, t, zdim, v)
+    args = [scal]
+    for a_ in [z, z, z, r]:
+        args += [a_.re, a_.im]
+    args += [aps_s, aps_i]
+    args += [links.re, links.im, links.re, links.im]
+
+    kernel = functools.partial(
+        _gcr_z_kernel,
+        y=y,
+        xx=xx,
+        nt=nt,
+        lim=lim,
+        compressed=nrow == 2,
+        s_rows=s_rows,
+        anti_t=anti_t,
+    )
+    kwargs = {}
+    if not _interpret():
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=121 * 1024 * 1024
+        )
+    az_re, az_im, raw, apr = pl.pallas_call(
+        kernel,
+        grid=(nt,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=(
+            jax.ShapeDtypeStruct(z.re.shape, fdt),
+            jax.ShapeDtypeStruct(z.re.shape, fdt),
+            jax.ShapeDtypeStruct((s_rows, 2), fdt),
+            jax.ShapeDtypeStruct((s_rows + 1, 2), fdt),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, 4, 3, 1, zdim, v), fdt),
+            pltpu.VMEM((2, 4, 3, 1, zdim, v), fdt),
+            pltpu.VMEM((2, 3, 3, zdim, v), fdt),
+            pltpu.VMEM((2, 3, 3, zdim, v), fdt),
+        ],
+        interpret=_interpret(),
+        **kwargs,
+    )(*args)
+    az = cplx.CF(az_re, az_im)
+    raw_cf = cplx.CF(raw[:, 0], raw[:, 1])
+    apr_cf = cplx.CF(apr[:, 0], apr[:, 1])
+    return az, raw_cf, apr_cf

@@ -226,6 +226,37 @@ def gcr_solve(
     )
 
 
+def _z_step_config(a):
+    """Step closure ``(z, r, aps, lim) -> (az, raw, apr)`` when the fused
+    PRECONDITIONED iteration kernel applies (ops/pallas/gcr_dslash.py
+    gcr_z_step): A = I - kD with the z-resident t-streaming Pallas
+    Wilson-Dirac, CF k, single device. The kernel computes az = A z, the
+    beta numerators <ap_j, az>, and the alpha-numerator feeds <ap_j, r> /
+    <az, r> in ONE pass — K2 disappears and K3 drops its residual read
+    (the <ap_new, r> recursion). None when inapplicable."""
+    from mgpgcr_tpu.ops.dirac import DiracOperator
+    from mgpgcr_tpu.ops.pallas.dslash import PallasWilsonDirac, _links_is_tmajor
+
+    if not isinstance(a, DiracOperator):
+        return None
+    d = a.d
+    if not cplx.is_cf(a.k) or not isinstance(d, PallasWilsonDirac):
+        return None
+    if not _links_is_tmajor(d.links) or d.device_mesh is not None:
+        return None
+    t, z, y, xx = d.mesh.spacetime_dims
+    if d.tb not in (None, 1) or d.zb not in (None, z) or t < 2 or t % 2:
+        return None
+    from mgpgcr_tpu.ops.pallas import gcr_dslash as gds
+
+    def zstep(zv, r, aps, lim):
+        return gds.gcr_z_step(
+            d.links, zv, r, aps, a.k, lim, d.mesh, anti_t=d.anti_t
+        )
+
+    return zstep
+
+
 def _gcr_solve_fused(
     a, rhs, params: GCRParams, precond, x0, axis_names: tuple = ()
 ) -> SolveResult:
@@ -265,6 +296,10 @@ def _gcr_solve_fused(
     S = params.storage_size
     max_iter = params.max_iter
     restart = params.restart if params.restart else max_iter + 1
+    # one-pass preconditioned step (az + beta dots + alpha-numerator dots
+    # fused into the Dslash streaming): only with a right preconditioner
+    # and the single-device streaming operator
+    zstep = _z_step_config(a) if precond is not None else None
 
     x = cplx.zeros_like(rhs) if x0 is None else x0
     r = rhs - apply_a(x) if x0 is not None else rhs
@@ -322,7 +357,6 @@ def _gcr_solve_fused(
         )
 
         z = precond(r) if precond is not None else r
-        az = apply_a(z)
 
         # valid stored directions always form the stack prefix [0:lim]
         # (slots fill 0,1,2,.. after every restart wipe): dispatch to
@@ -334,18 +368,36 @@ def _gcr_solve_fused(
         # variants blow up compile time / HLO size (the tunnelled backend
         # rejects oversized programs), so large stacks stream whole.
         lim = jnp.clip(count, 1, S)
-        if S <= 16:
-            raw = jax.lax.switch(
-                lim - 1,
-                [
-                    (lambda k: lambda aps_, az_: gk.beta_dots(aps_, az_, lim=k))(k)
-                    for k in range(1, S + 1)
-                ],
-                aps,
-                az,
-            )
+        aprd = None
+        if zstep is not None:
+            # one-pass preconditioned step: az + K2 beta dots + the
+            # alpha-numerator feeds in a single streaming kernel
+            if S <= 16:
+                az, raw, aprd = jax.lax.switch(
+                    lim - 1,
+                    [
+                        (lambda k: lambda z_, r_, aps_: zstep(z_, r_, aps_, k))(k)
+                        for k in range(1, S + 1)
+                    ],
+                    z, r, aps,
+                )
+            else:
+                az, raw, aprd = zstep(z, r, aps, S)
+            aprd = _allsum(aprd, axis_names)
         else:
-            raw = gk.beta_dots(aps, az)
+            az = apply_a(z)
+            if S <= 16:
+                raw = jax.lax.switch(
+                    lim - 1,
+                    [
+                        (lambda k: lambda aps_, az_: gk.beta_dots(aps_, az_, lim=k))(k)
+                        for k in range(1, S + 1)
+                    ],
+                    aps,
+                    az,
+                )
+            else:
+                raw = gk.beta_dots(aps, az)
         raw = _allsum(raw, axis_names)
         betas = cplx.where(
             ap_norms > 0,
@@ -359,8 +411,10 @@ def _gcr_solve_fused(
         ap_norms = ap_norms * wipe
 
         # unpreconditioned: z is r, so K3 dots <ap, r> against its z
-        # window instead of streaming the residual a second time
-        r_arg = r if precond is not None else None
+        # window instead of streaming the residual a second time; with
+        # the fused z step, <ap_new, r> comes from the dot recursion so
+        # K3 skips its residual read either way
+        r_arg = r if (precond is not None and zstep is None) else None
         slot = (count % S).astype(jnp.int32)
         if S <= 16:
             ps, aps, apn, apr = jax.lax.switch(
@@ -382,7 +436,17 @@ def _gcr_solve_fused(
                 z, az, r_arg, ps, aps, betas, slot, lim=S
             )
         apn = _allsum(apn.astype(rdtype), axis_names)
-        apr = _allsum(apr, axis_names)
+        if zstep is not None:
+            # <ap_new, r> = <az, r> - sum_j conj(beta_j) <ap_j, r>, all
+            # dotted in-kernel from resident planes (betas are zero
+            # beyond the live prefix, so the full-length sum is exact)
+            head = cplx.CF(aprd.re[:S], aprd.im[:S])
+            prod = betas.conj() * head
+            apr = cplx.CF(aprd.re[S], aprd.im[S]) - cplx.CF(
+                jnp.sum(prod.re), jnp.sum(prod.im)
+            )
+        else:
+            apr = _allsum(apr, axis_names)
         ap_norms = ap_norms.at[slot].set(apn)
 
         return (x, r, ps, aps, ap_norms, apn, apr, slot, count, it, r2, hist)
@@ -512,6 +576,9 @@ def _gcr_solve_fused_cycles(
     # driver passes a ShardLocalWilsonDirac; its halo ghosts are
     # pre-combined r' faces and its dot outputs are psummed below)
     mega = _mega_step_config(a, precond)
+    # preconditioned one-pass step (az + beta dots + alpha-numerator
+    # dots in the Dslash streaming; K3z drops its residual read)
+    zstep = _z_step_config(a) if precond is not None else None
     apply_a = a.apply if hasattr(a, "apply") else a
     rdtype = cplx.real_dtype(rhs)
     S = params.storage_size
@@ -579,10 +646,17 @@ def _gcr_solve_fused_cycles(
 
             if mega is None:
                 z = precond(r) if precond is not None else r
-                az = apply_a(z)
+                if zstep is not None:
+                    az, raw, aprd = zstep(z, r, aps, j + 1)
+                    raw = _allsum(raw, axis_names)
+                    aprd = _allsum(aprd, axis_names)
+                else:
+                    az = apply_a(z)
 
-                # stored A-directions live in the static prefix [0:j+1]
-                raw = _allsum(gk.beta_dots(aps, az, lim=j + 1), axis_names)
+                    # stored A-directions live in the static prefix [0:j+1]
+                    raw = _allsum(
+                        gk.beta_dots(aps, az, lim=j + 1), axis_names
+                    )
             betas = cplx.where(
                 ap_norms > 0,
                 _div_real(raw, ap_norms.astype(raw.dtype), rdtype),
@@ -602,7 +676,7 @@ def _gcr_solve_fused_cycles(
             coef.append(row)
 
             slot = 0 if j == R - 1 else j + 1
-            if mega is not None:
+            if mega is not None or zstep is not None:
                 # <ap_new, r'> by recursion over the fused step's dots:
                 # ap_new = az - sum beta_i ap_i, so
                 # <ap_new, r'> = <az, r'> - sum conj(beta_i) <ap_i, r'>

@@ -162,3 +162,103 @@ def test_mega_step_kernel_matches_composition(problem):
             rtol=1e-10,
             atol=1e-11,
         )
+
+
+def test_z_step_kernel_matches_composition(problem):
+    """gcr_z_step (preconditioned one-pass: Dslash on z + beta dots +
+    alpha-numerator dots) == A-apply + beta_dots + explicit vdots."""
+    from mgpgcr_tpu.ops.pallas import gcr_kernels as gk
+    from mgpgcr_tpu.ops.pallas.dslash import PallasWilsonDirac
+    from mgpgcr_tpu.ops.pallas.gcr_dslash import gcr_z_step
+
+    mesh = LatticeMesh((4, 4, 2, 4, 4, 3))
+    links = random_links_cf(11, mesh, jnp.float64)
+    d = PallasWilsonDirac.build(links, mesh, interpret=True)
+    k = cplx.from_scalar(0.12, jnp.float64)
+    a = DiracOperator(d, k)
+
+    S = 4
+    aps = cplx.random(jax.random.PRNGKey(9), (S, *d.field_shape), jnp.float64)
+    r = cplx.random(jax.random.PRNGKey(10), d.field_shape, jnp.float64)
+    z = cplx.random(jax.random.PRNGKey(12), d.field_shape, jnp.float64)
+
+    for lim in (1, 2, 4):
+        az, raw, aprd = gcr_z_step(d.links, z, r, aps, k, lim, mesh)
+        az_ref = a.apply(z)
+        raw_ref = gk.beta_dots(aps, az_ref, lim=lim)
+        np.testing.assert_allclose(
+            cplx.to_numpy(az), cplx.to_numpy(az_ref), atol=1e-11
+        )
+        np.testing.assert_allclose(
+            cplx.to_numpy(raw), cplx.to_numpy(raw_ref), rtol=1e-10, atol=1e-11
+        )
+        for j in range(lim):
+            ref_dot = cplx.vdot(cplx.CF(aps.re[j], aps.im[j]), r)
+            np.testing.assert_allclose(
+                complex(float(aprd.re[j]), float(aprd.im[j])),
+                complex(float(ref_dot.re), float(ref_dot.im)),
+                rtol=1e-10,
+                atol=1e-11,
+            )
+        for j in range(lim, S):
+            assert float(aprd.re[j]) == 0.0 and float(aprd.im[j]) == 0.0
+            assert float(raw.re[j]) == 0.0 and float(raw.im[j]) == 0.0
+        ref_azr = cplx.vdot(az_ref, r)
+        np.testing.assert_allclose(
+            complex(float(aprd.re[S]), float(aprd.im[S])),
+            complex(float(ref_azr.re), float(ref_azr.im)),
+            rtol=1e-10,
+            atol=1e-11,
+        )
+
+
+def test_z_step_anti_t_matches_operator():
+    """gcr_z_step with the in-kernel anti-periodic temporal BC matches
+    the anti-periodic operator applied by the slab path."""
+    from mgpgcr_tpu.ops.pallas.dslash import PallasWilsonDirac
+    from mgpgcr_tpu.ops.pallas.gcr_dslash import gcr_z_step
+
+    mesh = LatticeMesh((4, 4, 2, 4, 4, 3))
+    links = random_links_cf(3, mesh, jnp.float64)
+    d = PallasWilsonDirac.build(links, mesh, interpret=True, antiperiodic_t=True)
+    k = cplx.from_scalar(0.1, jnp.float64)
+    a = DiracOperator(d, k)
+    aps = cplx.random(jax.random.PRNGKey(1), (2, *d.field_shape), jnp.float64)
+    r = cplx.random(jax.random.PRNGKey(2), d.field_shape, jnp.float64)
+    z = cplx.random(jax.random.PRNGKey(4), d.field_shape, jnp.float64)
+    az, _, _ = gcr_z_step(d.links, z, r, aps, k, 2, mesh, anti_t=True)
+    np.testing.assert_allclose(
+        cplx.to_numpy(az), cplx.to_numpy(a.apply(z)), atol=1e-11
+    )
+
+
+@pytest.mark.parametrize("unroll", ["loop", "cycles"])
+def test_fused_precond_z_step_trajectory(problem, unroll):
+    """Preconditioned fused GCR on the streaming Pallas operator (both
+    body forms engage gcr_z_step) reproduces the generic trajectory."""
+    from mgpgcr_tpu.ops.pallas.dslash import PallasWilsonDirac
+    from mgpgcr_tpu.solvers.gcr import _z_step_config
+
+    a_ref, rhs = problem
+    mesh = a_ref.d.mesh
+    links = random_links_cf(11, mesh, jnp.float64)
+    d = PallasWilsonDirac.build(links, mesh, interpret=True)
+    a = DiracOperator(d, cplx.from_scalar(0.12, jnp.float64))
+    assert _z_step_config(a) is not None, "z-step path did not engage"
+
+    inner = GCRParams(tol=0.0, max_iter=3, truncation=3)
+
+    def precond_of(op):
+        return lambda r: gcr_solve(op, r, inner).x
+
+    params = GCRParams(tol=1e-8, max_iter=50, restart=5, unroll=unroll)
+    ref = gcr_solve(a_ref, rhs, params, precond=precond_of(a_ref))
+    got = gcr_solve(a, rhs, params, precond=precond_of(a), fused=True)
+    assert int(got.n_iters) == int(ref.n_iters)
+    h_ref = np.asarray(ref.res_history)
+    h_got = np.asarray(got.res_history)
+    mask = ~np.isnan(h_ref)
+    np.testing.assert_allclose(h_got[mask], h_ref[mask], rtol=1e-8, atol=1e-12)
+    np.testing.assert_allclose(
+        cplx.to_numpy(got.x), cplx.to_numpy(ref.x), rtol=1e-7, atol=1e-9
+    )
