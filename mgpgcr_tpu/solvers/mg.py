@@ -328,7 +328,29 @@ def block_orthonormalize(vecs, block_map: BlockMap, layout: str = "flat"):
     if blocked.shape[2] < blocked.shape[0]:
         raise ValueError("block_len smaller than number of coarse vectors")
     if cplx.is_cf(blocked):
-        return _batched_mgs(blocked)
+        # blocks are independent: chunk the batched MGS over nb so XLA's
+        # live temps stay bounded (unchunked at 32^4 block 8 ne 20 the
+        # planner wants 17 GB of HLO temps — OOM on a 16 GB chip)
+        ne, nb, bl = blocked.shape
+        per_block = 2 * ne * bl * jnp.dtype(blocked.dtype).itemsize
+        budget = 64 * 1024 * 1024
+        cb = max(
+            (d for d in range(1, nb + 1) if nb % d == 0 and d * per_block <= budget),
+            default=1,
+        )
+        if cb == nb:
+            return _batched_mgs(blocked)
+        nchunk = nb // cb
+        chunks = cplx.CF(
+            blocked.re.reshape(ne, nchunk, cb, bl),
+            blocked.im.reshape(ne, nchunk, cb, bl),
+        )
+        chunks = cplx.transpose(chunks, (1, 0, 2, 3))  # (nchunk, ne, cb, bl)
+        out = jax.lax.map(_batched_mgs, chunks)
+        out = cplx.transpose(out, (1, 0, 2, 3))
+        return cplx.CF(
+            out.re.reshape(ne, nb, bl), out.im.reshape(ne, nb, bl)
+        )
     q, _ = jnp.linalg.qr(cplx.transpose(blocked, (1, 2, 0)), mode="reduced")
     return cplx.transpose(q, (2, 0, 1))
 
