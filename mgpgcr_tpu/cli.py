@@ -151,6 +151,31 @@ def _solve_once(cfg, jax, logger):
     )
 
     a, mesh, rhs, to_host, layout = build_problem(cfg.problem, jax)
+
+    # even-odd (Schur) route: half-dimension even-site system, exact
+    # odd-site back-substitution (solvers/eo.py; beyond-reference — the
+    # reference always solves the full system, GCR.h:159-302)
+    eo_op = kcf = None
+    if getattr(cfg, "eo", False):
+        if layout != "tpu" or not hasattr(a, "d"):
+            raise SystemExit(
+                "--eo requires a lattice cf problem (synthetic or "
+                "Wilson-detected ingested matrix)"
+            )
+        from mgpgcr_tpu.ops.eo import EvenOddWilson
+        from mgpgcr_tpu.ops.pallas.dslash import (
+            _links_is_tmajor,
+            links_from_tmajor,
+        )
+
+        links = a.d.links
+        if _links_is_tmajor(links):
+            if links.shape[2] != 3:
+                raise SystemExit("--eo needs uncompressed (3-row) links")
+            links = links_from_tmajor(links)
+        eo_op = EvenOddWilson.from_full(links, mesh)
+        kcf = cplx.from_scalar(cfg.problem.k, cplx.real_dtype(rhs))
+
     precond = None
     setup_s = 0.0
     if cfg.mg is not None:
@@ -162,20 +187,37 @@ def _solve_once(cfg, jax, logger):
         # (4,3,T,Z,Y*X); generic ingested formats use flat fields
         cf = cfg.problem.dtype.startswith("cf")
         with annotate("mg_setup"), Timer(logger, "mg_setup") as t:
-            mgp = setup_mg(
-                jax.random.PRNGKey(cfg.problem.seed + 7),
-                a,
-                mesh,
-                cfg.mg,
-                layout=layout,
-                _cf=cf and layout == "flat",
-            )
+            if eo_op is not None:
+                from mgpgcr_tpu.solvers.eo import setup_eo_mg
+
+                _, mgp = setup_eo_mg(
+                    jax.random.PRNGKey(cfg.problem.seed + 7),
+                    eo_op,
+                    kcf,
+                    cfg.mg,
+                )
+            else:
+                mgp = setup_mg(
+                    jax.random.PRNGKey(cfg.problem.seed + 7),
+                    a,
+                    mesh,
+                    cfg.mg,
+                    layout=layout,
+                    _cf=cf and layout == "flat",
+                )
             Timer.block_on(jax.tree_util.tree_leaves(mgp.coarse))
         precond = mgp.apply
         setup_s = t.elapsed
     solve_fn = gcr_solve_eager if getattr(cfg, "eager", False) else gcr_solve
     with annotate("solve"), Timer(logger, "solve") as t:
-        res = solve_fn(a, rhs, cfg.gcr, precond=precond)
+        if eo_op is not None:
+            from mgpgcr_tpu.solvers.eo import eo_solve
+
+            res = eo_solve(
+                eo_op, kcf, rhs, cfg.gcr, precond=precond, mesh=mesh
+            )
+        else:
+            res = solve_fn(a, rhs, cfg.gcr, precond=precond)
         Timer.block_on(jax.tree_util.tree_leaves(res.x))
     out = {
         "converged": bool(res.converged),
@@ -184,6 +226,8 @@ def _solve_once(cfg, jax, logger):
         "solve_s": round(t.elapsed, 4),
         "mg_setup_s": round(setup_s, 4),
     }
+    if eo_op is not None:
+        out["eo"] = True  # iters/relres are the Schur solve's
     if cfg.problem.matrix and layout == "tpu":
         # Wilson structure was detected and the solve ran on the
         # streaming stencil kernels instead of the ingested format
@@ -435,6 +479,7 @@ def _config_from_args(args):
         gcr=gcr,
         mg=mg,
         eager=bool(getattr(args, "eager", False)) or cfg.eager,
+        eo=bool(getattr(args, "eo", False)) or getattr(cfg, "eo", False),
         trace=getattr(args, "trace", None) or cfg.trace,
         log=getattr(args, "log", None) or cfg.log,
     )
@@ -468,6 +513,13 @@ def _add_common(p):
         action="store_true",
         help="skip Wilson-structure detection for ingested matrices "
         "(keep the generic ELL/stencil compute format)",
+    )
+    p.add_argument(
+        "--eo",
+        action="store_true",
+        help="even-odd (Schur) reduction: half-dimension even-site solve "
+        "+ exact odd back-substitution; with --mg the hierarchy is built "
+        "over the Schur operator",
     )
     p.add_argument("--mg", action="store_true", help="enable MG preconditioner")
     p.add_argument(

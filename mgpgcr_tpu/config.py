@@ -40,6 +40,10 @@ class RunConfig:
     mg: Optional[MGParams] = None  # None = unpreconditioned
     eager: bool = False  # host-orchestrated outer loop (gcr_solve_eager):
     # for problem sizes whose whole-solve jit is too large to compile
+    eo: bool = False  # even-odd (Schur) reduction: solve S x_e = b'_e on
+    # the even sites, back-substitute the odd half (solvers/eo.py);
+    # lattice cf problems only. With mg set, the MG hierarchy is built
+    # over the Schur operator (setup_eo_mg)
     trace: Optional[str] = None  # residual trace artifact path
     log: Optional[str] = None  # JSON-lines run log path
 

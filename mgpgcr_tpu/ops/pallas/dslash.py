@@ -192,6 +192,13 @@ def links_to_tmajor(links_tpu: cplx.CF) -> cplx.CF:
     return cplx.transpose(links_tpu, (3, 0, 1, 2, 4, 5))
 
 
+def links_from_tmajor(links_tmajor: cplx.CF) -> cplx.CF:
+    """Inverse of :func:`links_to_tmajor` (3-row uncompressed links only):
+    (T, 4, 3, 3, Z, V) -> (4, 3, 3, T, Z, V)."""
+    assert links_tmajor.shape[2] == 3, "two-row links cannot round-trip"
+    return cplx.transpose(links_tmajor, (1, 2, 3, 0, 4, 5))
+
+
 def _links_is_tmajor(links: cplx.CF) -> bool:
     return links.shape[1] == 4  # mu-major is (4, 3, 3, ...): shape[1] == 3
 
