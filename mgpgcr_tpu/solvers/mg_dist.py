@@ -144,6 +144,104 @@ class _Geom:
         )
 
 
+def _pshift_cf(x, axis_name: str, ndev: int, shift: int):
+    """ppermute a pytree: data at mesh index j lands at (j + shift) % ndev."""
+    perm = [(j, (j + shift) % ndev) for j in range(ndev)]
+    return jax.tree.map(lambda v: lax.ppermute(v, axis_name, perm), x)
+
+
+def _plane(xg, axis: int, idx: int):
+    return jax.tree.map(
+        lambda v: lax.slice_in_dim(v, idx, idx + 1, axis=axis), xg
+    )
+
+
+def _replace_plane(xg, axis: int, idx: int, plane, n_loc: int):
+    """xg with plane ``idx`` (0 or n_loc-1) replaced — concatenation form
+    (boundary-only, avoids a scatter)."""
+    if n_loc == 1:
+        return plane
+    body = (
+        jax.tree.map(lambda v: lax.slice_in_dim(v, 1, n_loc, axis=axis), xg)
+        if idx == 0
+        else jax.tree.map(
+            lambda v: lax.slice_in_dim(v, 0, n_loc - 1, axis=axis), xg
+        )
+    )
+    parts = [plane, body] if idx == 0 else [body, plane]
+    return cplx.concatenate(parts, axis=axis)
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardLocalCoarseStencil(LinearOperator):
+    """Shard-LOCAL 9-point Galerkin coarse operator over the block lattice.
+
+    The coarse grid inherits the fine grid's (axis_t, axis_z) domain
+    decomposition — each device owns its own blocks' stencil rows
+    (bt_loc, bz_loc, by*bx, 9, ne, ne) and coarse dof, so the coarse
+    SOLVE distributes too: stencil halos are one-block-plane ppermutes,
+    GCR dots psum over the mesh axes, and the per-V-cycle coarse-rhs
+    ``all_gather`` of the replicated design disappears along with the
+    ndev-redundant solve (reference hot loop being scaled:
+    HierarchicalSparse.h:102-161). Apply contract: local flat
+    (nb_loc * ne,) -> same, inside shard_map."""
+
+    blocks: cplx.CF  # (bt_loc, bz_loc, by*bx, 9, ne, ne) local rows
+    geom: _Geom
+
+    @property
+    def ne(self) -> int:
+        return self.blocks.shape[-1]
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        n = self.geom.nb * self.ne  # global dimension
+        return (n, n)
+
+    def _shift(self, xg, d: int, sgn: int):
+        """Neighbour-block values at coord + sgn along grid axis d of the
+        local (bt, bz, by, bx, ne) coarse field; t/z cross shards."""
+        g = self.geom
+        name, ndev = (
+            (g.axis_t, g.ntd)
+            if d == 0
+            else (g.axis_z, g.nzd) if d == 1 else (None, 1)
+        )
+        rolled = cplx.roll(xg, -sgn, d)
+        if name is None or ndev <= 1:
+            return rolled
+        n_loc = g.bpd_loc[d]
+        if sgn > 0:
+            # +mu: the last local plane's neighbour is the NEXT shard's
+            # first plane (ppermute source j -> dest j-1)
+            ghost = _pshift_cf(_plane(xg, d, 0), name, ndev, -1)
+            return _replace_plane(rolled, d, n_loc - 1, ghost, n_loc)
+        ghost = _pshift_cf(_plane(xg, d, n_loc - 1), name, ndev, +1)
+        return _replace_plane(rolled, d, 0, ghost, n_loc)
+
+    def apply(self, x):
+        g = self.geom
+        ne = self.ne
+        bt, bz, by, bx = g.bpd_loc
+        xg = x.reshape(bt, bz, by, bx, ne)
+        bg = self.blocks.reshape(bt, bz, by, bx, 9, ne, ne)
+        eq = "abcdij,abcdj->abcdi"
+        y = cplx.einsum2(eq, bg[..., 0, :, :], xg)
+        for d in range(4):
+            y = y + cplx.einsum2(
+                eq, bg[..., 1 + 2 * d, :, :], self._shift(xg, d, +1)
+            )
+            y = y + cplx.einsum2(
+                eq, bg[..., 2 + 2 * d, :, :], self._shift(xg, d, -1)
+            )
+        return y.reshape(x.shape)
+
+
+jax.tree_util.register_dataclass(
+    ShardLocalCoarseStencil, data_fields=["blocks"], meta_fields=["geom"]
+)
+
+
 def _geometry(d: PallasWilsonDirac, block) -> _Geom:
     mesh = d.mesh
     if isinstance(block, int):
@@ -264,18 +362,26 @@ class ShardedMGPreconditioner:
         lbm = g.local_block_map()
         ne = q.shape[0]
         rc = restrict(q, lbm, r, "tpu")  # (nb_loc * ne,)
-        rc5 = rc.reshape(g.bpd_loc[0], g.bpd_loc[1], g.byx, ne)
-        rc_g = g.gather_blocked(rc5)  # (Bt, Bz, ByBx, ne) replicated
-        cp = coarse_precond.apply if coarse_precond is not None else None
-        ec = gcr_solve(
-            coarse,
-            rc_g.reshape(g.nb * ne),
-            self.params.coarse_gcr,
-            precond=cp,
-        ).x  # replicated: identical on every device, no collectives
-        ec_loc = g.local_coarse_slice(
-            ec.reshape(g.bpd[0], g.bpd[1], g.byx, ne)
-        ).reshape(g.nb_loc * ne)
+        if isinstance(coarse, ShardLocalCoarseStencil):
+            # sharded coarse level: no all_gather, no redundant solve —
+            # the coarse GCR runs on local block rows with psummed dots
+            # and ppermute stencil halos
+            ec_loc = gcr_solve(
+                coarse, rc, self.params.coarse_gcr, axis_names=g.names
+            ).x
+        else:
+            rc5 = rc.reshape(g.bpd_loc[0], g.bpd_loc[1], g.byx, ne)
+            rc_g = g.gather_blocked(rc5)  # (Bt, Bz, ByBx, ne) replicated
+            cp = coarse_precond.apply if coarse_precond is not None else None
+            ec = gcr_solve(
+                coarse,
+                rc_g.reshape(g.nb * ne),
+                self.params.coarse_gcr,
+                precond=cp,
+            ).x  # replicated: identical on every device, no collectives
+            ec_loc = g.local_coarse_slice(
+                ec.reshape(g.bpd[0], g.bpd[1], g.byx, ne)
+            ).reshape(g.nb_loc * ne)
         corr = prolong(q, lbm, ec_loc, "tpu")
         return cplx.scale_real(
             corr,
@@ -308,6 +414,14 @@ class ShardedMGPreconditioner:
         x = self._smooth(a_loc, r, x, self.params.n_post_smooth)
         return x
 
+    def _coarse_spec(self):
+        """Partition spec for the coarse operator through shard_map:
+        sharded block rows for the ShardLocalCoarseStencil, replicated
+        otherwise."""
+        if isinstance(self.coarse, ShardLocalCoarseStencil):
+            return P(self.geom.axis_t, self.geom.axis_z)
+        return P()
+
     # -- standalone apply on globally-sharded fields --------------------------
     def apply(self, r):
         """Precondition a (4,3,T,Z,V) field laid out per the operator's
@@ -323,7 +437,10 @@ class ShardedMGPreconditioner:
         fn = jax.shard_map(
             local,
             mesh=d.device_mesh,
-            in_specs=(d._links_spec(), P(), g.q_spec(), P(), P(), fspec),
+            in_specs=(
+                d._links_spec(), P(), g.q_spec(), self._coarse_spec(), P(),
+                fspec,
+            ),
             out_specs=fspec,
             check_vma=False,
         )
@@ -401,7 +518,17 @@ def setup_mg_sharded(
         )
     )(d.links, k, b0)
 
-    # -- phase B: phase-probed Galerkin assembly, gathered to replicated --
+    # -- phase B: phase-probed Galerkin assembly. coarse_format="stencil"
+    # keeps each shard's stencil rows LOCAL (the coarse level then
+    # distributes: sharded coarse solve, no per-V-cycle all_gather);
+    # other formats gather to a replicated coarse operator --
+    coarse_sharded = params.coarse_format == "stencil"
+    if coarse_sharded and params.n_level > 2:
+        raise ValueError(
+            "sharded stencil coarse level is two-level only (deeper "
+            "hierarchies need the replicated coarse grid)"
+        )
+
     def _galerkin_local(links, kk, q5_loc):
         a_loc = _local_operator(d, links, kk)
         q = q5_loc.reshape(ne, geom.nb_loc, lbm.block_len)
@@ -409,23 +536,31 @@ def setup_mg_sharded(
         b6 = blocks.reshape(
             geom.bpd_loc[0], geom.bpd_loc[1], geom.byx, 9, ne, ne
         )
+        if coarse_sharded:
+            return b6
         return geom.gather_blocked(b6).reshape(geom.nb, 9, ne, ne)
 
+    blocks_spec = (
+        P(geom.axis_t, geom.axis_z) if coarse_sharded else P()
+    )
     blocks = jax.jit(
         jax.shard_map(
             _galerkin_local,
             mesh=d.device_mesh,
             in_specs=(lspec, P(), geom.q_spec()),
-            out_specs=P(),
+            out_specs=blocks_spec,
             check_vma=False,
         )
     )(d.links, k, q5)
 
-    gbm = geom.mesh.blocking(geom.block)
-    table = jnp.asarray(gbm.neighbor_table(), jnp.int32)
-    coarse = build_coarse_operator(
-        blocks, table, params.coarse_format, geom.bpd
-    )
+    if coarse_sharded:
+        coarse = ShardLocalCoarseStencil(blocks, geom)
+    else:
+        gbm = geom.mesh.blocking(geom.block)
+        table = jnp.asarray(gbm.neighbor_table(), jnp.int32)
+        coarse = build_coarse_operator(
+            blocks, table, params.coarse_format, geom.bpd
+        )
 
     # -- deeper levels: the coarse grid is replicated, so the regular
     # single-device setup builds the rest of the hierarchy on it --
@@ -479,7 +614,7 @@ def mg_gcr_solve_sharded(
     fspec = d._field_spec()
 
     args = [d.links, rhs, mgp.q5, mgp.coarse, mgp.coarse_precond]
-    specs = [d._links_spec(), fspec, geom.q_spec(), P(), P()]
+    specs = [d._links_spec(), fspec, geom.q_spec(), mgp._coarse_spec(), P()]
     if k is not None:
         args.append(k)
         specs.append(P())

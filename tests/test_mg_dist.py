@@ -186,3 +186,62 @@ def test_distributed_mg_gcr_bsr_coarse(problem):
     r = rhs - a_single.apply(res.x)
     rel = float(jnp.sqrt(cplx.abs2_sum(r) / cplx.abs2_sum(rhs)))
     assert rel < 1e-7
+
+
+def test_distributed_mg_gcr_sharded_stencil_coarse(problem):
+    """coarse_format='stencil' in the sharded setup keeps the coarse level
+    DISTRIBUTED (ShardLocalCoarseStencil): no per-V-cycle all_gather, the
+    coarse GCR runs on local block rows with psummed dots and ppermute
+    stencil halos. Checks (a) the sharded coarse apply equals the
+    replicated dense assembly of the seed-identical hierarchy, (b) the
+    full distributed solve converges with the same iteration count."""
+    from jax.sharding import PartitionSpec as P
+
+    from mgpgcr_tpu.solvers.mg_dist import ShardLocalCoarseStencil
+
+    mesh, links, k, a_single, b0, rhs = problem
+    a = _sharded_op(links, mesh, k, ("t", "z"), (4, 2))
+    mgp = setup_mg_sharded(
+        jax.random.PRNGKey(3), a, _mg_params(coarse_format="stencil"), b0=b0
+    )
+    assert isinstance(mgp.coarse, ShardLocalCoarseStencil)
+    mgp_dense = setup_mg_sharded(
+        jax.random.PRNGKey(3), a, _mg_params(coarse_format="dense"), b0=b0
+    )
+
+    # (a) operator parity on a random coarse vector
+    g = mgp.geom
+    ne = mgp.coarse.ne
+    xc = cplx.random(jax.random.PRNGKey(5), (g.nb * ne,), jnp.float64)
+    ref_y = mgp_dense.coarse.apply(xc)
+    xg = xc.reshape(g.bpd[0], g.bpd[1], g.byx, ne)
+
+    def local(blocks_loc, x_loc):
+        op = ShardLocalCoarseStencil(blocks_loc, g)
+        return op.apply(x_loc.reshape(-1)).reshape(x_loc.shape)
+
+    fn = jax.shard_map(
+        local,
+        mesh=a.d.device_mesh,
+        in_specs=(P("t", "z"), P("t", "z")),
+        out_specs=P("t", "z"),
+        check_vma=False,
+    )
+    got_y = fn(mgp.coarse.blocks, xg).reshape(g.nb * ne)
+    np.testing.assert_allclose(
+        cplx.to_numpy(got_y), cplx.to_numpy(ref_y), atol=1e-10
+    )
+
+    # (b) end-to-end distributed solve
+    gp = GCRParams(tol=1e-8, max_iter=80, restart=5)
+    res = jax.jit(lambda r: mg_gcr_solve_sharded(r, gp, mgp))(
+        a.d.shard_field(rhs)
+    )
+    assert bool(res.converged)
+    r = rhs - a_single.apply(res.x)
+    rel = float(jnp.sqrt(cplx.abs2_sum(r) / cplx.abs2_sum(rhs)))
+    assert rel < 1e-7
+    res_dense = jax.jit(lambda r: mg_gcr_solve_sharded(r, gp, mgp_dense))(
+        a.d.shard_field(rhs)
+    )
+    assert abs(int(res.n_iters) - int(res_dense.n_iters)) <= 1
