@@ -232,9 +232,17 @@ def main(argv=None) -> int:
     def mg_solve_for(k: float):
         # rebind the fine operator (and its k) into the loaded hierarchy;
         # the coarse space was built at setup_k (near-null spaces vary
-        # slowly in k — the standard MG re-use across a k sweep)
+        # slowly in k — the standard MG re-use across a k sweep). The
+        # smoother-side operator must follow k too: left at setup_k it
+        # smooths a DIFFERENT system (supercritical setup_k poisons every
+        # sweep solve).
         a_k = a_at(k)
-        mgp_k = dataclasses.replace(mgp, a=a_k)
+        a_sm = mgp.a_smooth
+        if a_sm is not None:
+            a_sm = dataclasses.replace(
+                a_sm, k=cplx.from_scalar(k, jnp.float32)
+            )
+        mgp_k = dataclasses.replace(mgp, a=a_k, a_smooth=a_sm)
         if args.eager_mg:
             return a_k, lambda a, b: gcr_solve_eager(
                 a, b, mg_params, precond=mgp_k.apply,
