@@ -56,6 +56,10 @@ def parse_args(argv=None):
     ap.add_argument("--platform", help="force jax platform (this box pins "
                     "a TPU platform via env, so env vars alone are too "
                     "late — pass --platform cpu for the faked mesh)")
+    ap.add_argument("--model-only", action="store_true",
+                    help="emit the analytic model without building the "
+                    "sharded hierarchy (any lattice/device count — e.g. "
+                    "the 32^4 production config on 8/32/256 chips)")
     return ap.parse_args(argv)
 
 
@@ -166,6 +170,15 @@ def main(argv=None) -> int:
     dims = tuple(args.lattice)
     mesh = LatticeMesh((*dims, 4, 3))
     ndev = int(np.prod(args.sizes))
+    ne = 2 * args.nullvecs
+    model = analytic_model(
+        dims, args.block, ne, ndev, args.restart, args.coarse_iters,
+        args.smoother_iters,
+    )
+    print(json.dumps({"phase": "model", **model}), flush=True)
+    if args.model_only:
+        return 0
+
     interpret = jax.default_backend() != "tpu"
     dmesh = make_lattice_device_mesh(
         ndev, axis_names=tuple(args.axes), axis_sizes=tuple(args.sizes)
@@ -179,7 +192,6 @@ def main(argv=None) -> int:
         links, mesh, dmesh, interpret=interpret, **kw
     )
     a = DiracOperator(d, cplx.from_scalar(args.k, jnp.float32))
-    ne = 2 * args.nullvecs
     base_mg = dict(
         block=args.block,
         n_nullvecs=args.nullvecs,
@@ -195,11 +207,6 @@ def main(argv=None) -> int:
         else None,
     )
 
-    model = analytic_model(
-        dims, args.block, ne, ndev, args.restart, args.coarse_iters,
-        args.smoother_iters,
-    )
-    print(json.dumps({"phase": "model", **model}), flush=True)
 
     t_lat, z_lat, y, xx = dims
     rhs = cplx.random(jax.random.PRNGKey(7), (4, 3, t_lat, z_lat, y * xx), jnp.float32)

@@ -27,6 +27,10 @@ class ProblemConfig:
     seed: int = 0
     dtype: str = "complex128"  # complex128 | complex64 | cf32 | cf64
     antiperiodic: bool = False  # anti-periodic temporal BC (synthetic only)
+    compress: bool = True  # two-row SU(3) link storage on the TPU
+    # streaming path (exact reconstruction; the production default —
+    # bench.py's same-precision headline config). Auto-disabled for --eo
+    # (the parity split wants full 3-row links).
     detect: bool = True  # factorise ingested Wilson matrices back into
     # links + projectors (ops/ingest.py) and route the solve through the
     # streaming stencil kernels; falls back to the generic ingested
