@@ -14,7 +14,9 @@ limits). This script checks, in order:
      or broken.
 
 Exit 0 all good / 1 regression / 2 broken. One JSON line per check.
-Usage: python benchmarks/smoke.py
+Usage: python benchmarks/smoke.py [--platform cpu]
+(this box pins a TPU platform via env + sitecustomize, so JAX_PLATFORMS
+alone is too late — use --platform to smoke the CPU backend)
 """
 
 from __future__ import annotations
@@ -24,6 +26,11 @@ import sys
 import time
 
 import jax
+
+if "--platform" in sys.argv:
+    jax.config.update(
+        "jax_platforms", sys.argv[sys.argv.index("--platform") + 1]
+    )
 import jax.numpy as jnp
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
@@ -38,8 +45,80 @@ from mgpgcr_tpu.solvers.gcr import gcr_solve  # noqa: E402
 from mgpgcr_tpu.solvers.params import GCRParams  # noqa: E402
 
 
+_ORACLE_CHECK = r"""
+import json, sys
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+sys.path.insert(0, "%(repo)s")
+sys.path.insert(0, "%(repo)s/tests")
+import mgpgcr_tpu as mg
+from mgpgcr_tpu import fields
+from mgpgcr_tpu.io import read_parsed_txt
+from mgpgcr_tpu.ops.dirac import make_dirac
+from oracle_gcr import oracle_gcr
+
+a = make_dirac(read_parsed_txt("%(fixture)s").to_ell(), k=0.15)
+mesh = mg.LatticeMesh((4, 4, 4, 4, 4, 3))
+rhs = fields.random_field(jax.random.PRNGKey(42), mesh)
+res = mg.gcr_solve(a, rhs, mg.GCRParams(tol=1e-10, max_iter=400, restart=5))
+_, hist_o = oracle_gcr(
+    lambda v: np.asarray(a.apply(jnp.asarray(v))), np.asarray(rhs),
+    tol=1e-10, max_iter=400, restart=5,
+)
+hist = np.asarray(res.res_history)
+hist = hist[~np.isnan(hist)]
+ok = bool(res.converged) and len(hist) == len(hist_o) and bool(
+    np.allclose(hist, hist_o, rtol=1e-6)
+)
+print(json.dumps({"iters": int(res.n_iters), "ok": ok}))
+sys.exit(0 if ok else 1)
+"""
+
+
 def main() -> int:
     status = 0
+
+    # 0. oracle parity on the reference fixture (complex128 CPU, own
+    # subprocess: x64 + cpu config cannot be flipped in the TPU process).
+    # Catches solver-trajectory regressions against the independent
+    # numpy re-execution of the reference algorithm (GCR.h:159-302).
+    import os
+    import subprocess
+
+    repo = __file__.rsplit("/", 2)[0]
+    fixture = os.environ.get(
+        "MGPGCR_REFERENCE_MATRIX",
+        "/root/reference/data/sample_matrix/4x4parsed.txt",
+    )
+    if os.path.exists(fixture):
+        t0 = time.perf_counter()
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             _ORACLE_CHECK % {"repo": repo, "fixture": fixture}],
+            capture_output=True, text=True, timeout=900,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        )
+        ok = proc.returncode == 0
+        print(
+            json.dumps(
+                {
+                    "check": "oracle_parity_4^4",
+                    "detail": (proc.stdout.strip().splitlines() or ["?"])[-1],
+                    "seconds": round(time.perf_counter() - t0, 1),
+                    "ok": ok,
+                }
+            ),
+            flush=True,
+        )
+        if not ok:
+            print(proc.stderr[-2000:], file=sys.stderr)
+            return 2
+    else:
+        print(json.dumps({"check": "oracle_parity_4^4", "skipped":
+                          "fixture not available"}), flush=True)
 
     # 1. backend alive
     t0 = time.perf_counter()
@@ -99,7 +178,13 @@ def main() -> int:
             PallasWilsonDirac(links_to_tmajor(links16), mesh16), jnp.bfloat16
         )
         psi = cplx.random(jax.random.PRNGKey(1), op.field_shape, jnp.float32)
-        dt = _bench._time_apply(op, psi)
+        # bare kernel via the chain-difference estimator (bench.py round-4
+        # protocol; the old _time_apply single-shot helper is gone)
+        _bench._chain_time(op, psi, 2, inner=40)
+        _bench._chain_time(op, psi, 4, inner=25)
+        t2 = _bench._chain_time(op, psi, 2, inner=40)
+        t4 = _bench._chain_time(op, psi, 4, inner=25)
+        dt = max((t4 - t2) / 2, 1e-9)
         nnz = 39 * 12 * mesh16.n_sites
         gnnz = nnz / dt / 1e9
         # absolute sanity floor, not the 32^4 figure: at 16^4 the
