@@ -60,6 +60,12 @@ def parse_args(argv=None):
     ap.add_argument("--no-smoother", action="store_true",
                     help="deflation-only M = I + P C^-1 P^H (the reference's "
                     "config of record, main.cpp:840-858)")
+    ap.add_argument("--smoother-iters", type=int,
+                    help="GCR smoother iterations per pre/post smooth "
+                    "(default: MGParams default, 4); the smoother's Dslash "
+                    "passes dominate the V-cycle at scale")
+    ap.add_argument("--coarse-max-iter", type=int,
+                    help="coarse-solve GCR iteration cap (default 50)")
     ap.add_argument("--coarse-format", default="dense",
                     choices=["dense", "bsr", "stencil"])
     ap.add_argument("--transfer-dtype", default=None,
@@ -176,10 +182,27 @@ def main(argv=None) -> int:
     mgp = None
     if not args.skip_mg:
         setup_k = args.setup_k if args.setup_k is not None else max(args.k)
+        if args.no_smoother:
+            smoother = None
+        elif args.smoother_iters:
+            smoother = GCRParams(
+                tol=0.0, max_iter=args.smoother_iters,
+                restart=args.smoother_iters, fused=on_tpu,
+            )
+        else:
+            smoother = MGParams().smoother_gcr
+        coarse_gcr = MGParams().coarse_gcr
+        if args.coarse_max_iter:
+            import dataclasses as _dc
+
+            coarse_gcr = _dc.replace(
+                coarse_gcr, max_iter=args.coarse_max_iter
+            )
         mgparams = MGParams(
             block=args.block,
             n_nullvecs=args.nullvecs,
-            smoother_gcr=None if args.no_smoother else MGParams().smoother_gcr,
+            smoother_gcr=smoother,
+            coarse_gcr=coarse_gcr,
             coarse_format=args.coarse_format,
             transfer_dtype=args.transfer_dtype,
         )

@@ -188,6 +188,47 @@ def test_distributed_mg_gcr_bsr_coarse(problem):
     assert rel < 1e-7
 
 
+@pytest.mark.parametrize("axes,sizes", [(("t",), (2,))])
+def test_shard_local_coarse_stencil_interior_planes(problem, axes, sizes):
+    """Operator parity with MULTI-plane local block grids (bpd_loc t = 2):
+    the local roll + boundary-ghost replacement path, not just the
+    single-plane whole-ghost case the 4x2 mesh exercises."""
+    from jax.sharding import PartitionSpec as P
+
+    from mgpgcr_tpu.solvers.mg_dist import ShardLocalCoarseStencil
+
+    mesh, links, k, a_single, b0, rhs = problem
+    a = _sharded_op(links, mesh, k, axes, sizes)
+    mgp = setup_mg_sharded(
+        jax.random.PRNGKey(3), a, _mg_params(coarse_format="stencil"), b0=b0
+    )
+    mgp_dense = setup_mg_sharded(
+        jax.random.PRNGKey(3), a, _mg_params(coarse_format="dense"), b0=b0
+    )
+    g = mgp.geom
+    assert g.bpd_loc[0] > 1  # interior + boundary planes both present
+    ne = mgp.coarse.ne
+    xc = cplx.random(jax.random.PRNGKey(5), (g.nb * ne,), jnp.float64)
+    ref_y = mgp_dense.coarse.apply(xc)
+    xg = xc.reshape(g.bpd[0], g.bpd[1], g.byx, ne)
+
+    def local(blocks_loc, x_loc):
+        op = ShardLocalCoarseStencil(blocks_loc, g)
+        return op.apply(x_loc.reshape(-1)).reshape(x_loc.shape)
+
+    fn = jax.shard_map(
+        local,
+        mesh=a.d.device_mesh,
+        in_specs=(P("t"), P("t")),
+        out_specs=P("t"),
+        check_vma=False,
+    )
+    got_y = fn(mgp.coarse.blocks, xg).reshape(g.nb * ne)
+    np.testing.assert_allclose(
+        cplx.to_numpy(got_y), cplx.to_numpy(ref_y), atol=1e-10
+    )
+
+
 def test_distributed_mg_gcr_sharded_stencil_coarse(problem):
     """coarse_format='stencil' in the sharded setup keeps the coarse level
     DISTRIBUTED (ShardLocalCoarseStencil): no per-V-cycle all_gather, the
