@@ -117,3 +117,24 @@ def test_blocking_is_partition(dims, block, seed):
     assert sorted(np.asarray(b).ravel().tolist()) == list(range(mesh.size))
     back = bm.from_blocked(b)
     np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+@given(dims=lattices, seed=st.integers(0, 99))
+@SET
+def test_eo_split_roundtrip_any_shape(dims, seed):
+    """field_to_eo / field_from_eo are mutually inverse bijections for any
+    even lattice shape, and the two parity halves partition the sites
+    (ops/eo.py compact-layout contract)."""
+    from mgpgcr_tpu.ops.eo import field_from_eo, field_to_eo
+
+    mesh = LatticeMesh((*dims, 4, 3))
+    t, z, y, xx = mesh.spacetime_dims
+    x = jnp.arange(float(t * z * y * xx)).reshape(t, z, y * xx)
+    even, odd = field_to_eo(x, mesh)
+    assert even.shape == odd.shape == (t, z, y * (xx // 2))
+    all_vals = np.concatenate(
+        [np.asarray(even).ravel(), np.asarray(odd).ravel()]
+    )
+    assert sorted(all_vals.tolist()) == list(range(t * z * y * xx))
+    back = field_from_eo(even, odd, mesh)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
