@@ -182,9 +182,9 @@ def main(argv=None) -> int:
     mgp = None
     if not args.skip_mg:
         setup_k = args.setup_k if args.setup_k is not None else max(args.k)
-        if args.no_smoother:
+        if args.no_smoother or args.smoother_iters == 0:
             smoother = None
-        elif args.smoother_iters:
+        elif args.smoother_iters is not None:
             smoother = GCRParams(
                 tol=0.0, max_iter=args.smoother_iters,
                 restart=args.smoother_iters, fused=on_tpu,
@@ -192,7 +192,7 @@ def main(argv=None) -> int:
         else:
             smoother = MGParams().smoother_gcr
         coarse_gcr = MGParams().coarse_gcr
-        if args.coarse_max_iter:
+        if args.coarse_max_iter is not None:
             import dataclasses as _dc
 
             coarse_gcr = _dc.replace(

@@ -175,17 +175,14 @@ def _solve_once(cfg, jax, logger):
                 "Wilson-detected ingested matrix)"
             )
         from mgpgcr_tpu.ops.eo import EvenOddWilson
-        from mgpgcr_tpu.ops.pallas.dslash import (
-            _links_is_tmajor,
-            links_from_tmajor,
-        )
 
-        links = a.d.links
-        if _links_is_tmajor(links):
-            if links.shape[2] != 3:
-                raise SystemExit("--eo needs uncompressed (3-row) links")
-            links = links_from_tmajor(links)
-        eo_op = EvenOddWilson.from_full(links, mesh)
+        try:
+            # honours d.anti_t (in-kernel anti-periodic BC: boundary sign
+            # folded into U_t(T-1) for the Schur split) and rejects
+            # two-row compressed links
+            eo_op = EvenOddWilson.from_dirac(a.d)
+        except ValueError as e:
+            raise SystemExit(f"--eo: {e}")
         kcf = cplx.from_scalar(cfg.problem.k, cplx.real_dtype(rhs))
 
     precond = None
@@ -433,7 +430,10 @@ def _config_from_args(args):
         pc = dataclasses.replace(pc, antiperiodic=True)
     if getattr(args, "no_detect", False):
         pc = dataclasses.replace(pc, detect=False)
-    if getattr(args, "no_compress", False) or getattr(args, "eo", False):
+    # merged eo flag: --eo on argv OR eo: true in the config file — both
+    # need uncompressed 3-row links (EvenOddWilson has no 2-row path)
+    eo = bool(getattr(args, "eo", False)) or bool(getattr(cfg, "eo", False))
+    if getattr(args, "no_compress", False) or eo:
         pc = dataclasses.replace(pc, compress=False)
     gcr = cfg.gcr
     if getattr(args, "tol", None) is not None:
@@ -493,7 +493,7 @@ def _config_from_args(args):
         gcr=gcr,
         mg=mg,
         eager=bool(getattr(args, "eager", False)) or cfg.eager,
-        eo=bool(getattr(args, "eo", False)) or getattr(cfg, "eo", False),
+        eo=eo,
         trace=getattr(args, "trace", None) or cfg.trace,
         log=getattr(args, "log", None) or cfg.log,
     )

@@ -125,6 +125,35 @@ class EvenOddWilson:
         links_e, links_o = field_to_eo(links_tpu, mesh)
         return EvenOddWilson(links_e, links_o, mesh)
 
+    @staticmethod
+    def from_dirac(d) -> "EvenOddWilson":
+        """Build from a stencil Dirac operator (TpuWilsonDirac or
+        PallasWilsonDirac), honouring its boundary condition.
+
+        The streaming Pallas kernel applies the anti-periodic temporal BC
+        in-kernel and keeps the stored links pristine SU(3)
+        (``d.anti_t``); the even-odd split works from the links alone, so
+        the boundary sign must be folded into U_t(T-1) here — otherwise
+        the Schur half-system would silently be the PERIODIC operator
+        (advisor r4 high finding). Two-row compressed links are rejected:
+        the parity blocks need full 3x3 links."""
+        links = d.links
+        if links.shape[1] == 4:  # t-major (T, 4, rows, 3, Z, V)
+            if links.shape[2] != 3:
+                raise ValueError(
+                    "even-odd needs uncompressed (3-row) links"
+                )
+            from mgpgcr_tpu.ops.pallas.dslash import links_from_tmajor
+
+            links = links_from_tmajor(links)
+        mesh = d.mesh
+        if getattr(d, "anti_t", False):
+            tdim = mesh.spacetime_dims[0]
+            links = links.at[0, :, :, tdim - 1].set(
+                -links[0, :, :, tdim - 1]
+            )
+        return EvenOddWilson.from_full(links, mesh)
+
     @property
     def field_shape(self) -> tuple[int, ...]:
         t, z, y, xx = self.mesh.spacetime_dims

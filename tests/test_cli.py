@@ -262,3 +262,51 @@ def test_solve_mg_reference_config_of_record():
     assert r.returncode == 0, r.stderr
     out = json.loads(r.stdout.strip().splitlines()[-1])
     assert out["converged"] and out["indep_relres"] < 1e-7
+
+
+def test_solve_eo_antiperiodic_solves_requested_system():
+    """--eo + --antiperiodic: the Schur half-system must be built from
+    links with the temporal boundary sign folded in, not the pristine
+    periodic links (advisor r4 high finding: the combination previously
+    reported converged while the reconstructed x had relres ~0.27 against
+    the anti-periodic operator the user asked for). indep_relres is
+    computed by the CLI against the anti-periodic `a` — small means the
+    right system was solved."""
+    r = _run(
+        [
+            "solve", "--platform", "cpu",
+            "--lattice", "4", "4", "2", "2",
+            "--dtype", "cf32", "--k", "0.08",
+            "--tol", "1e-5", "--max-iter", "300", "--restart", "8",
+            "--eo", "--antiperiodic",
+        ],
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["eo"] and out["converged"]
+    assert out["indep_relres"] < 1e-4
+
+
+def test_solve_eo_from_config_file_disables_compression(tmp_path):
+    """eo: true in a config file (not argv) must disable two-row link
+    compression exactly as --eo does (advisor r4 low finding: the merged
+    flag was read after the compress decision, so config-file eo died at
+    solve time with '--eo needs uncompressed (3-row) links')."""
+    cfgf = tmp_path / "eo.json"
+    cfgf.write_text(json.dumps({
+        "problem": {
+            "lattice": [4, 4, 2, 2], "dtype": "cf32", "k": 0.08,
+            "compress": True,
+        },
+        "gcr": {"tol": 1e-5, "max_iter": 300, "restart": 8,
+                "truncation": 0},
+        "eo": True,
+    }))
+    r = _run(
+        ["solve", "--platform", "cpu", "--config", str(cfgf)],
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["eo"] and out["converged"] and out["indep_relres"] < 1e-4

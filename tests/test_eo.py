@@ -201,3 +201,42 @@ def test_eo_sharded_gspmd_matches_single_device():
     np.testing.assert_allclose(
         cplx.to_numpy(got.x), cplx.to_numpy(ref.x), rtol=1e-8, atol=1e-10
     )
+
+
+def test_from_dirac_antiperiodic_solves_requested_system():
+    """from_dirac on a streaming Pallas operator with the in-kernel
+    anti-periodic BC (anti_t=True, pristine stored links) must fold the
+    boundary sign into the Schur split: the reconstructed x has to solve
+    the ANTI-PERIODIC full system, not the periodic one (advisor r4 high
+    finding: relres was ~0.27 against the requested operator)."""
+    from mgpgcr_tpu.ops.pallas.dslash import PallasWilsonDirac
+
+    dims = (4, 8, 2, 8, 4, 3)
+    mesh = LatticeMesh(dims)
+    links = cplx.ascf(random_links(jax.random.PRNGKey(3), mesh), jnp.float32)
+    d = PallasWilsonDirac.build(
+        links, mesh, interpret=True, antiperiodic_t=True
+    )
+    assert d.anti_t, "test needs the in-kernel BC configuration"
+    eo = EvenOddWilson.from_dirac(d)
+    k = 0.10
+    kcf = cplx.from_scalar(k, jnp.float32)
+    b = cplx.random(jax.random.PRNGKey(11), d.field_shape, jnp.float32)
+    params = GCRParams(tol=1e-6, max_iter=300, restart=10)
+    res = eo_solve(eo, kcf, b, params, mesh=mesh)
+    assert bool(res.converged)
+    a = DiracOperator(d, kcf)  # the anti-periodic operator as requested
+    r = b - a.apply(res.x)
+    relres = float(jnp.sqrt(cplx.abs2_sum(r) / cplx.abs2_sum(b)))
+    assert relres < 1e-5
+
+
+def test_from_dirac_rejects_two_row_links():
+    from mgpgcr_tpu.ops.pallas.dslash import PallasWilsonDirac
+
+    dims = (4, 8, 2, 8, 4, 3)
+    mesh = LatticeMesh(dims)
+    links = cplx.ascf(random_links(jax.random.PRNGKey(3), mesh), jnp.float32)
+    d = PallasWilsonDirac.build(links, mesh, interpret=True, compress=True)
+    with pytest.raises(ValueError, match="3-row"):
+        EvenOddWilson.from_dirac(d)
