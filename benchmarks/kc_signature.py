@@ -61,6 +61,7 @@ from mgpgcr_tpu.ops.wilson_tpu import (  # noqa: E402
 from mgpgcr_tpu.solvers.gcr import gcr_solve  # noqa: E402
 from mgpgcr_tpu.solvers.mg import setup_mg  # noqa: E402
 from mgpgcr_tpu.solvers.params import GCRParams, MGParams  # noqa: E402
+from mgpgcr_tpu.utils.retry import with_tunnel_retry  # noqa: E402
 
 from showdown import get_links  # noqa: E402  (shared gauge-config loader)
 
@@ -145,7 +146,9 @@ def main(argv=None) -> int:
     rhs_cf = field_to_tpu(cplx.from_numpy(rhs_np / rhs_norm, jnp.float32), mesh)
 
     def hunt_converges(k: float) -> bool:
-        res = hunt_jit(a_lo_at(k), rhs_cf)
+        res = with_tunnel_retry(
+            lambda: hunt_jit(a_lo_at(k), rhs_cf), label=f"hunt_k{k:.4f}"
+        )
         return bool(res.converged)
 
     kc = args.kc
@@ -187,11 +190,16 @@ def main(argv=None) -> int:
             src, setup_s = "checkpoint", 0.0
         else:
             t0 = time.time()
-            mgp = setup_mg(
-                jax.random.PRNGKey(3), a_lo_at(setup_k), mesh, mgparams,
-                layout="tpu",
-            )
-            jax.block_until_ready(jax.tree_util.tree_leaves(mgp.coarse))
+
+            def _do_setup():
+                m = setup_mg(
+                    jax.random.PRNGKey(3), a_lo_at(setup_k), mesh, mgparams,
+                    layout="tpu",
+                )
+                jax.block_until_ready(jax.tree_util.tree_leaves(m.coarse))
+                return m
+
+            mgp = with_tunnel_retry(_do_setup, label="mg_setup")
             setup_s = time.time() - t0
             src = "setup"
             if args.mg_ckpt:
@@ -226,8 +234,13 @@ def main(argv=None) -> int:
         for _ in range(args.max_refine):
             scale = np.max(np.abs(r)) or 1.0
             r_cf = field_to_tpu(cplx.from_numpy(r / scale, jnp.float32), mesh)
-            res = (
-                mg_jit(a_k, mgp_k, r_cf) if use_mg else plain_jit(a_k, r_cf)
+            res = with_tunnel_retry(
+                lambda: (
+                    mg_jit(a_k, mgp_k, r_cf)
+                    if use_mg
+                    else plain_jit(a_k, r_cf)
+                ),
+                label=f"refine_{'mg' if use_mg else 'plain'}_k{k:.4f}",
             )
             iters.append(int(res.n_iters))
             dx = cplx.to_numpy(field_from_tpu(res.x, mesh)) * scale

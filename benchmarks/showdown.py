@@ -41,6 +41,7 @@ from mgpgcr_tpu.ops.wilson_tpu import TpuWilsonDirac, with_link_dtype  # noqa: E
 from mgpgcr_tpu.solvers.gcr import gcr_solve, gcr_solve_eager  # noqa: E402
 from mgpgcr_tpu.solvers.mg import setup_mg  # noqa: E402
 from mgpgcr_tpu.solvers.params import GCRParams, MGParams  # noqa: E402
+from mgpgcr_tpu.utils.retry import with_tunnel_retry  # noqa: E402
 
 
 def parse_args(argv=None):
@@ -152,13 +153,18 @@ def main(argv=None) -> int:
         return DiracOperator(d, cplx.from_scalar(k, jnp.float32))
 
     def timed(solve, a, phase, k):
-        res = solve(a, rhs)
-        float(res.final_relres)  # warm-up: compile + first-sync stall
+        def run():
+            res = solve(a, rhs)
+            float(res.final_relres)  # true sync (tunnel-safe)
+            return res
+
+        # warm-up: compile + first-sync stall; retried — a dropped
+        # remote-compile here used to kill whole sweep rows (r4 32^4)
+        res = with_tunnel_retry(run, label=f"{phase}_warmup_k{k}")
         best = float("inf")
         for _ in range(args.repeats):
             t0 = time.perf_counter()
-            res = solve(a, rhs)
-            float(res.final_relres)
+            res = with_tunnel_retry(run, label=f"{phase}_k{k}")
             best = min(best, time.perf_counter() - t0)
         rec = {
             "phase": phase, "k": k, **base,
@@ -222,11 +228,16 @@ def main(argv=None) -> int:
             src = "checkpoint"
         else:
             t0 = time.perf_counter()
-            mgp = setup_mg(
-                jax.random.PRNGKey(3), a_setup, mesh, mgparams,
-                layout="tpu", smoother_operator=smooth_op,
-            )
-            jax.block_until_ready(jax.tree_util.tree_leaves(mgp.coarse))
+
+            def _do_setup():
+                m = setup_mg(
+                    jax.random.PRNGKey(3), a_setup, mesh, mgparams,
+                    layout="tpu", smoother_operator=smooth_op,
+                )
+                jax.block_until_ready(jax.tree_util.tree_leaves(m.coarse))
+                return m
+
+            mgp = with_tunnel_retry(_do_setup, label="mg_setup")
             setup_s = time.perf_counter() - t0
             src = "setup"
             if args.mg_ckpt:

@@ -195,18 +195,20 @@ def _solve_once(cfg, jax, logger):
         # detection-routed ingested matrices) use the TPU field layout
         # (4,3,T,Z,Y*X); generic ingested formats use flat fields
         cf = cfg.problem.dtype.startswith("cf")
-        with annotate("mg_setup"), Timer(logger, "mg_setup") as t:
+        from mgpgcr_tpu.utils.retry import with_tunnel_retry
+
+        def _do_mg_setup():
             if eo_op is not None:
                 from mgpgcr_tpu.solvers.eo import setup_eo_mg
 
-                _, mgp = setup_eo_mg(
+                _, m = setup_eo_mg(
                     jax.random.PRNGKey(cfg.problem.seed + 7),
                     eo_op,
                     kcf,
                     cfg.mg,
                 )
             else:
-                mgp = setup_mg(
+                m = setup_mg(
                     jax.random.PRNGKey(cfg.problem.seed + 7),
                     a,
                     mesh,
@@ -214,7 +216,13 @@ def _solve_once(cfg, jax, logger):
                     layout=layout,
                     _cf=cf and layout == "flat",
                 )
-            Timer.block_on(jax.tree_util.tree_leaves(mgp.coarse))
+            Timer.block_on(jax.tree_util.tree_leaves(m.coarse))
+            return m
+
+        with annotate("mg_setup"), Timer(logger, "mg_setup") as t:
+            # setup-phase jits are minutes of tunnel remote-compiles; a
+            # dropped request is transient — retry instead of dying
+            mgp = with_tunnel_retry(_do_mg_setup, label="mg_setup")
         precond = mgp.apply
         setup_s = t.elapsed
     solve_fn = gcr_solve_eager if getattr(cfg, "eager", False) else gcr_solve
