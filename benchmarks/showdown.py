@@ -107,22 +107,31 @@ def get_links(args, mesh) -> "cplx.CF":
                           "beta": float(dat.get("beta", 0.0))}), flush=True)
         return cplx.CF(jnp.asarray(dat["re"]), jnp.asarray(dat["im"]))
     if args.beta is not None:
-        from mgpgcr_tpu.gauge import thermalized_links
-
         t0 = time.time()
-        links_c, hist = thermalized_links(
-            args.seed, mesh, beta=args.beta, n_sweeps=args.sweeps,
-            dtype=jnp.complex64,
-        )
-        # generation runs on the CPU backend (the tunneled TPU has no
-        # complex support); split re/im on host before anything touches
-        # the accelerator
-        links_np = np.asarray(links_c)
-        links = cplx.CF(
-            jnp.asarray(links_np.real, jnp.float32),
-            jnp.asarray(links_np.imag, jnp.float32),
-        )
-        print(json.dumps({"phase": "links", "source": "heatbath",
+        if jax.devices()[0].platform == "cpu":
+            # CPU: complex heat bath (exact complex128/64 path)
+            from mgpgcr_tpu.gauge import thermalized_links
+
+            links_c, hist = thermalized_links(
+                args.seed, mesh, beta=args.beta, n_sweeps=args.sweeps,
+                dtype=jnp.complex64,
+            )
+            links_np = np.asarray(links_c)
+            links = cplx.CF(
+                jnp.asarray(links_np.real, jnp.float32),
+                jnp.asarray(links_np.imag, jnp.float32),
+            )
+            src = "heatbath_cpu"
+        else:
+            # accelerator: split re/im f32 sweeps on-device (gauge_tpu)
+            # — minutes at 32^4 where the CPU path took hours
+            from mgpgcr_tpu.gauge_tpu import thermalized_links_cf
+
+            links, hist = thermalized_links_cf(
+                args.seed, mesh, beta=args.beta, n_sweeps=args.sweeps,
+            )
+            src = "heatbath_tpu"
+        print(json.dumps({"phase": "links", "source": src,
                           "beta": args.beta, "sweeps": args.sweeps,
                           "plaquette": [round(p, 4) for p in hist[-3:]],
                           "seconds": round(time.time() - t0, 1)}), flush=True)
