@@ -65,6 +65,11 @@ def parse_args(argv=None):
                     help="GCR smoother iterations per pre/post smooth "
                     "(default: MGParams default, 4); the smoother's Dslash "
                     "passes dominate the V-cycle at scale")
+    ap.add_argument("--smoother-trunc", type=int,
+                    help="smoother GCR truncation (stored directions). "
+                    "1 = minimal-residual smoothing: no direction stack "
+                    "traffic in K3 — the cheapest V-cycle smoother "
+                    "(default: restart mode with the full window)")
     ap.add_argument("--coarse-max-iter", type=int,
                     help="coarse-solve GCR iteration cap (default 50)")
     ap.add_argument("--coarse-format", default="dense",
@@ -199,11 +204,21 @@ def main(argv=None) -> int:
         setup_k = args.setup_k if args.setup_k is not None else max(args.k)
         if args.no_smoother or args.smoother_iters == 0:
             smoother = None
-        elif args.smoother_iters is not None:
-            smoother = GCRParams(
-                tol=0.0, max_iter=args.smoother_iters,
-                restart=args.smoother_iters, fused=on_tpu,
+        elif args.smoother_iters is not None or args.smoother_trunc is not None:
+            its = (
+                args.smoother_iters
+                if args.smoother_iters is not None
+                else MGParams().smoother_gcr.max_iter
             )
+            if args.smoother_trunc is not None:
+                smoother = GCRParams(
+                    tol=0.0, max_iter=its,
+                    truncation=min(args.smoother_trunc, its), fused=on_tpu,
+                )
+            else:
+                smoother = GCRParams(
+                    tol=0.0, max_iter=its, restart=its, fused=on_tpu,
+                )
         else:
             smoother = MGParams().smoother_gcr
         coarse_gcr = MGParams().coarse_gcr

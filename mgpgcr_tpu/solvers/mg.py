@@ -209,14 +209,20 @@ class MGPreconditioner(LinearOperator):
             )
         return out if base is None else base + out
 
-    def _smooth(self, rhs, x, n: int):
+    def _smooth(self, rhs, x, n: int, x_is_zero: bool = False):
         sp = self.params.smoother_gcr
         if sp is None or n == 0:
             return x
         a = self.a_smooth if self.a_smooth is not None else self.a
-        for _ in range(n):
-            r = rhs - a.apply(x)
-            x = x + gcr_solve(a, r, sp).x
+        for i in range(n):
+            if x_is_zero and i == 0:
+                # pre-smooth from x = 0: r = rhs directly — the explicit
+                # residual Dslash of the x0 path would stream A*0
+                x = gcr_solve(a, rhs, sp).x
+            else:
+                # warm start: the solver computes r = rhs - A x0 in its
+                # own (fused) init instead of a separate outer pass
+                x = gcr_solve(a, rhs, sp, x0=x).x
         return x
 
     def apply(self, r):
