@@ -167,9 +167,18 @@ def _solve_once(cfg, jax, logger):
     # even-odd (Schur) route: half-dimension even-site system, exact
     # odd-site back-substitution (solvers/eo.py; beyond-reference — the
     # reference always solves the full system, GCR.h:159-302)
-    eo_op = kcf = None
+    eo_op = kcf = eo_spin = None
     if getattr(cfg, "eo", False):
-        if layout != "tpu" or not hasattr(a, "d"):
+        # Wilson-detected ingested matrices may come wrapped in a spin
+        # conjugation A_ing = S A S^-1 (ops/ingest.py
+        # SpinConjugatedOperator): Schur-solve the inner A on the rotated
+        # rhs and rotate x back — the ingested route then gets the
+        # half-dimension solve too
+        inner_a = a
+        if hasattr(a, "s") and hasattr(a, "a") and not hasattr(a, "d"):
+            eo_spin = a.s
+            inner_a = a.a
+        if layout != "tpu" or not hasattr(inner_a, "d"):
             raise SystemExit(
                 "--eo requires a lattice cf problem (synthetic or "
                 "Wilson-detected ingested matrix)"
@@ -180,7 +189,7 @@ def _solve_once(cfg, jax, logger):
             # honours d.anti_t (in-kernel anti-periodic BC: boundary sign
             # folded into U_t(T-1) for the Schur split) and rejects
             # two-row compressed links
-            eo_op = EvenOddWilson.from_dirac(a.d)
+            eo_op = EvenOddWilson.from_dirac(inner_a.d)
         except ValueError as e:
             raise SystemExit(f"--eo: {e}")
         kcf = cplx.from_scalar(cfg.problem.k, cplx.real_dtype(rhs))
@@ -228,11 +237,24 @@ def _solve_once(cfg, jax, logger):
     solve_fn = gcr_solve_eager if getattr(cfg, "eager", False) else gcr_solve
     with annotate("solve"), Timer(logger, "solve") as t:
         if eo_op is not None:
+            import dataclasses as _dc
+
             from mgpgcr_tpu.solvers.eo import eo_solve
 
+            rhs_eo = rhs
+            if eo_spin is not None:
+                sinv = cplx.transpose(eo_spin, (1, 0))  # real orthogonal
+                rhs_eo = cplx.einsum2("st,...tczyv->...sczyv", sinv, rhs)
             res = eo_solve(
-                eo_op, kcf, rhs, cfg.gcr, precond=precond, mesh=mesh
+                eo_op, kcf, rhs_eo, cfg.gcr, precond=precond, mesh=mesh
             )
+            if eo_spin is not None:
+                res = _dc.replace(
+                    res,
+                    x=cplx.einsum2(
+                        "st,...tczyv->...sczyv", eo_spin, res.x
+                    ),
+                )
         else:
             res = solve_fn(a, rhs, cfg.gcr, precond=precond)
         Timer.block_on(jax.tree_util.tree_leaves(res.x))

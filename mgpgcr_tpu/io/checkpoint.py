@@ -53,6 +53,51 @@ def _mg_params_from_dict(d) -> MGParams:
     return MGParams(**d)
 
 
+def _save_cdata(cdata, p: str, arrays: dict) -> None:
+    if cplx.is_cf(cdata):
+        arrays[p + "coarse_re"] = np.asarray(cdata.re)
+        arrays[p + "coarse_im"] = np.asarray(cdata.im)
+    else:
+        arrays[p + "coarse"] = np.asarray(cdata)
+
+
+def _load_cdata(z, p: str, meta: dict):
+    if meta["cf"]:
+        return cplx.CF(
+            jnp.asarray(z[p + "coarse_re"]), jnp.asarray(z[p + "coarse_im"])
+        )
+    return jnp.asarray(z[p + "coarse"])
+
+
+def _coarse_to_arrays(coarse, p: str, arrays: dict) -> tuple[str, dict]:
+    """Serialise a (replicated) coarse operator; returns (kind, extra)."""
+    extra = {}
+    if isinstance(coarse, DenseOperator):
+        kind, cdata = "dense", coarse.a
+    elif isinstance(coarse, BlockSparseOperator):
+        kind, cdata = "bsr", coarse.blocks
+        arrays[p + "coarse_cols"] = np.asarray(coarse.block_cols)
+    elif isinstance(coarse, StencilBlockOperator):
+        kind, cdata = "stencil", coarse.blocks
+        extra["coarse_dims"] = list(coarse.dims)
+        extra["coarse_backend"] = coarse.backend
+    else:
+        raise TypeError(f"unsupported coarse operator {type(coarse)!r}")
+    _save_cdata(cdata, p, arrays)
+    return kind, extra
+
+
+def _coarse_from_arrays(z, p: str, meta: dict):
+    cdata = _load_cdata(z, p, meta)
+    if meta["coarse_kind"] == "dense":
+        return DenseOperator(cdata)
+    if meta["coarse_kind"] == "stencil":
+        return StencilBlockOperator(
+            cdata, tuple(meta["coarse_dims"]), meta["coarse_backend"]
+        )
+    return BlockSparseOperator(cdata, jnp.asarray(z[p + "coarse_cols"]))
+
+
 def _collect_level(mgp: MGPreconditioner, p: str, arrays: dict) -> dict:
     """Serialise one level's arrays under key prefix ``p``; returns meta."""
     is_cf = cplx.is_cf(mgp.q)
@@ -62,27 +107,7 @@ def _collect_level(mgp: MGPreconditioner, p: str, arrays: dict) -> dict:
     else:
         arrays[p + "q"] = np.asarray(mgp.q)
 
-    coarse = mgp.coarse
-    extra = {}
-    if isinstance(coarse, DenseOperator):
-        coarse_kind = "dense"
-        cdata = coarse.a
-    elif isinstance(coarse, BlockSparseOperator):
-        coarse_kind = "bsr"
-        cdata = coarse.blocks
-        arrays[p + "coarse_cols"] = np.asarray(coarse.block_cols)
-    elif isinstance(coarse, StencilBlockOperator):
-        coarse_kind = "stencil"
-        cdata = coarse.blocks
-        extra["coarse_dims"] = list(coarse.dims)
-        extra["coarse_backend"] = coarse.backend
-    else:
-        raise TypeError(f"unsupported coarse operator {type(coarse)!r}")
-    if cplx.is_cf(cdata):
-        arrays[p + "coarse_re"] = np.asarray(cdata.re)
-        arrays[p + "coarse_im"] = np.asarray(cdata.im)
-    else:
-        arrays[p + "coarse"] = np.asarray(cdata)
+    coarse_kind, extra = _coarse_to_arrays(mgp.coarse, p, arrays)
 
     return {
         "layout": mgp.layout,
@@ -116,20 +141,9 @@ def _load_level(z, p: str, meta: dict, a, coarse_precond) -> MGPreconditioner:
     params = _mg_params_from_dict(meta["params"])
     if meta["cf"]:
         q = cplx.CF(jnp.asarray(z[p + "q_re"]), jnp.asarray(z[p + "q_im"]))
-        cdata = cplx.CF(
-            jnp.asarray(z[p + "coarse_re"]), jnp.asarray(z[p + "coarse_im"])
-        )
     else:
         q = jnp.asarray(z[p + "q"])
-        cdata = jnp.asarray(z[p + "coarse"])
-    if meta["coarse_kind"] == "dense":
-        coarse = DenseOperator(cdata)
-    elif meta["coarse_kind"] == "stencil":
-        coarse = StencilBlockOperator(
-            cdata, tuple(meta["coarse_dims"]), meta["coarse_backend"]
-        )
-    else:
-        coarse = BlockSparseOperator(cdata, jnp.asarray(z[p + "coarse_cols"]))
+    coarse = _coarse_from_arrays(z, p, meta)
     q_field = None
     if meta["layout"] == "tpu":
         # derived, not stored: same bytes as q, pure relayout
@@ -167,3 +181,115 @@ def load_mg_setup(path: str | os.PathLike, a) -> MGPreconditioner:
         for node in reversed(built):
             result = dataclasses.replace(node, coarse_precond=result)
         return result
+
+
+# ---------------------------------------------------------------------------
+# sharded hierarchy (solvers/mg_dist.py ShardedMGPreconditioner)
+# ---------------------------------------------------------------------------
+def save_mg_setup_sharded(path: str | os.PathLike, smgp) -> None:
+    """Persist a sharded MG hierarchy: the per-shard basis ``q5`` and the
+    coarse level (shard-local stencil rows, or a replicated operator) are
+    gathered to host arrays; the shard geometry is NOT stored — it is
+    re-derived at load from the operator's device mesh, so a checkpoint
+    restores onto any mesh with the same axis extents. Deeper replicated
+    levels reuse the single-device level serialiser."""
+    from mgpgcr_tpu.solvers.mg_dist import ShardLocalCoarseStencil
+
+    arrays: dict[str, np.ndarray] = {}
+    arrays["q5_re"] = np.asarray(smgp.q5.re)
+    arrays["q5_im"] = np.asarray(smgp.q5.im)
+    coarse = smgp.coarse
+    if isinstance(coarse, ShardLocalCoarseStencil):
+        coarse_kind, extra = "stencil_sharded", {}
+        _save_cdata(coarse.blocks, "c_", arrays)
+    else:
+        coarse_kind, extra = _coarse_to_arrays(coarse, "c_", arrays)
+    levels = []
+    node = smgp.coarse_precond
+    i = 0
+    while node is not None:
+        levels.append(_collect_level(node, f"l{i}_", arrays))
+        node = node.coarse_precond
+        i += 1
+    meta = {
+        "version": _FORMAT_VERSION,
+        "sharded": True,
+        "cf": True,
+        "block": list(smgp.geom.block),
+        "coarse_kind": coarse_kind,
+        "params": _params_to_dict(smgp.params),
+        "levels": levels,
+        **extra,
+    }
+    np.savez_compressed(path, meta=json.dumps(meta), **arrays)
+
+
+def load_mg_setup_sharded(path: str | os.PathLike, a):
+    """Rebuild a ``ShardedMGPreconditioner`` around the sharded fine
+    operator ``a`` (a ``DiracOperator`` over
+    ``PallasWilsonDirac.build_sharded`` on the SAME-extent device mesh):
+    q5 and shard-local stencil rows are placed back under their
+    NamedShardings; replicated coarse operators and any deeper hierarchy
+    load replicated."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mgpgcr_tpu.solvers.mg_dist import (
+        ShardedMGPreconditioner,
+        ShardLocalCoarseStencil,
+        _geometry,
+        _unwrap,
+    )
+
+    with np.load(path, allow_pickle=False) as z:
+        meta = json.loads(str(z["meta"]))
+        if meta["version"] != _FORMAT_VERSION:
+            raise ValueError(f"unknown MG checkpoint version {meta['version']}")
+        if not meta.get("sharded"):
+            raise ValueError(
+                "not a sharded MG checkpoint (use load_mg_setup)"
+            )
+        params = _mg_params_from_dict(meta["params"])
+        d, _k = _unwrap(a)
+        geom = _geometry(d, params.block)
+        dmesh = d.device_mesh
+
+        def put(host_cf, spec):
+            sh = NamedSharding(dmesh, spec)
+            return cplx.CF(
+                jax.device_put(jnp.asarray(host_cf.re), sh),
+                jax.device_put(jnp.asarray(host_cf.im), sh),
+            )
+
+        q5_host = cplx.CF(z["q5_re"], z["q5_im"])
+        q5 = put(q5_host, geom.q_spec())
+
+        if meta["coarse_kind"] == "stencil_sharded":
+            blocks = put(
+                cplx.CF(z["c_coarse_re"], z["c_coarse_im"]),
+                P(geom.axis_t, geom.axis_z),
+            )
+            coarse = ShardLocalCoarseStencil(blocks, geom)
+        else:
+            coarse = _coarse_from_arrays(z, "c_", meta)
+
+        coarse_precond = None
+        levels = meta.get("levels", [])
+        if levels:
+            built = []
+            fine_op = coarse
+            for i, lv in enumerate(levels):
+                node, c = _load_level(z, f"l{i}_", lv, fine_op, None)
+                built.append(node)
+                fine_op = c
+            for node in reversed(built):
+                coarse_precond = dataclasses.replace(
+                    node, coarse_precond=coarse_precond
+                )
+        return ShardedMGPreconditioner(
+            a=a,
+            q5=q5,
+            coarse=coarse,
+            geom=geom,
+            params=params,
+            coarse_precond=coarse_precond,
+        )

@@ -310,3 +310,26 @@ def test_solve_eo_from_config_file_disables_compression(tmp_path):
     assert r.returncode == 0, r.stderr
     out = json.loads(r.stdout.strip().splitlines()[-1])
     assert out["eo"] and out["converged"] and out["indep_relres"] < 1e-4
+
+
+@pytest.mark.skipif(not os.path.exists(FIXTURE), reason="fixture unavailable")
+def test_solve_eo_ingested_fixture():
+    """--eo on the INGESTED reference matrix: the Wilson detection's
+    spin-conjugated operator routes through the Schur solve (rhs rotated
+    into the native basis, x rotated back) — previously rejected
+    (r4 roadmap: ingested-matrix route for --eo). indep_relres is checked
+    against the ingested-basis operator."""
+    r = _run(
+        [
+            "solve", "--platform", "cpu",
+            "--matrix", FIXTURE,
+            "--dtype", "cf64", "--k", "0.15",
+            "--tol", "1e-8", "--max-iter", "400", "--restart", "8",
+            "--eo",
+        ],
+        timeout=900,
+    )
+    assert r.returncode == 0, r.stderr
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["eo"] and out["detected_wilson"] and out["converged"]
+    assert out["indep_relres"] < 1e-7
