@@ -302,13 +302,24 @@ def main() -> None:
         f"{best*1e6:.0f} us/apply, device={jax.devices()[0].device_kind}",
         file=sys.stderr,
     )
+    # the parsed one-line JSON names the SAME-PRECISION figure (f32
+    # arithmetic, exact two-row SU(3) reconstruction) against the f32
+    # roofline — apples-to-apples; the bf16-storage speed config is
+    # reported alongside (it moves fewer bytes against the same fixed
+    # baseline, so its ratio is legitimately higher; r4 verdict asked the
+    # parsed line not to lead with it)
+    sp = times.get("f32_links_2row")
+    sp_nnz = eff_nnz / sp if sp else nnz_per_s
     print(
         json.dumps(
             {
-                "metric": "wilson_dirac_spmv_throughput",
-                "value": round(nnz_per_s / 1e9, 3),
+                "metric": "wilson_dirac_spmv_throughput_f32",
+                "value": round(sp_nnz / 1e9, 3),
                 "unit": "Gnnz/s",
-                "vs_baseline": round(nnz_per_s / sol_nnz, 4),
+                "vs_baseline": round(sp_nnz / sol_nnz, 4),
+                "speed_config": head,
+                "speed_config_gnnz_per_s": round(nnz_per_s / 1e9, 3),
+                "speed_config_vs_baseline": round(nnz_per_s / sol_nnz, 4),
             }
         )
     )

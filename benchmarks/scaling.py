@@ -34,6 +34,7 @@ import sys
 import time
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def _launch(args, argv: list[str]) -> int:
@@ -83,6 +84,10 @@ def measure(
     dims: tuple[int, int, int, int],
     iters: int,
     kernel: str = "pallas",
+    solver: str = "plain",
+    block: int = 2,
+    nullvecs: int = 2,
+    coarse_format: str = "stencil",
 ) -> dict:
     import dataclasses
 
@@ -150,7 +155,40 @@ def measure(
     rhs = gen_field()
 
     params = GCRParams(tol=0.0, max_iter=iters, restart=5)
-    if kernel == "pallas":
+    mg_extra = {}
+    if solver == "mg":
+        # the round-4/5 distributed MG path: sharded setup, per-shard
+        # V-cycle with the fused z-step outer iteration; coarse level
+        # sharded (ShardLocalCoarseStencil) or replicated per
+        # --coarse-format — the pair the MG_DIST_PHASES model compares
+        assert kernel == "pallas", "--solver mg wants the pallas kernels"
+        from mgpgcr_tpu.solvers.mg_dist import (
+            mg_gcr_solve_sharded,
+            setup_mg_sharded,
+        )
+        from mgpgcr_tpu.solvers.params import MGParams
+
+        mgparams = MGParams(
+            block=block,
+            n_nullvecs=nullvecs,
+            setup_power_iters=1,
+            setup_gcr=GCRParams(tol=1e-4, max_iter=4, restart=4),
+            coarse_gcr=GCRParams(tol=1e-2, max_iter=10, restart=10),
+            smoother_gcr=GCRParams(tol=0.0, max_iter=2, restart=2),
+            coarse_format=coarse_format,
+        )
+        t_setup = time.perf_counter()
+        mgp = setup_mg_sharded(jax.random.PRNGKey(3), a, mgparams)
+        jax.block_until_ready(jax.tree_util.tree_leaves(mgp.q5))
+        mg_extra = {
+            "solver": "mg",
+            "coarse_format": coarse_format,
+            "block": block,
+            "ne": 2 * nullvecs,
+            "setup_s": round(time.perf_counter() - t_setup, 2),
+        }
+        solve = jax.jit(lambda a_, b: mg_gcr_solve_sharded(b, params, mgp).x)
+    elif kernel == "pallas":
         solve = jax.jit(
             lambda a, b: gcr_solve_sharded(a, b, params, fused=True).x
         )
@@ -170,7 +208,7 @@ def measure(
 
     sites = t * z * y * xx
     eff_nnz = 39 * 12 * sites
-    return {
+    rec = {
         "n_devices": n_devices,
         "n_processes": jax.process_count(),
         "kernel": kernel,
@@ -180,7 +218,20 @@ def measure(
         "seconds": round(dt, 4),
         "iters_per_s": round(iters / dt, 2),
         "gnnz_per_s": round(eff_nnz * iters / dt / 1e9, 3),
+        **mg_extra,
     }
+    if mg_extra:
+        # join the measured row with the MG_DIST_PHASES byte/flop model
+        # (same config): comm cost vs redundant-solve attribution per row
+        try:
+            from mg_dist_phases import analytic_model
+
+            rec["model"] = analytic_model(
+                dims, block, 2 * nullvecs, n_devices, 5, 10, 2,
+            )
+        except Exception as e:  # noqa: BLE001 — model join is best-effort
+            rec["model_error"] = f"{type(e).__name__}: {e}"
+    return rec
 
 
 def main() -> int:
@@ -202,6 +253,15 @@ def main() -> int:
         help="pallas: distributed fused streaming kernels in one shard_map "
         "(the production path); xla: GSPMD slab-stencil fallback",
     )
+    ap.add_argument("--solver", choices=["plain", "mg"], default="plain",
+                    help="mg: distributed MG-GCR (sharded setup + per-"
+                    "shard V-cycle; coarse level per --coarse-format) — "
+                    "the round-4/5 kernels under scaling measurement")
+    ap.add_argument("--coarse-format", default="stencil",
+                    choices=["dense", "stencil"],
+                    help="mg: sharded stencil coarse vs replicated dense")
+    ap.add_argument("--block", type=int, default=2)
+    ap.add_argument("--nullvecs", type=int, default=2)
     ap.add_argument("--devices", type=int, nargs="*", default=None)
     ap.add_argument("--output", help="also append JSON lines to this file (rank 0)")
     ap.add_argument(
@@ -262,7 +322,11 @@ def main() -> int:
             dims = (args.base_t * st, z * sz, y, xx)
         else:
             dims = tuple(args.lattice[:4])
-        r = measure(n, dims, args.iters, kernel=args.kernel)
+        r = measure(
+            n, dims, args.iters, kernel=args.kernel, solver=args.solver,
+            block=args.block, nullvecs=args.nullvecs,
+            coarse_format=args.coarse_format,
+        )
         r["mode"] = args.mode
         if results:
             base = results[0]
