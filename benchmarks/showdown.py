@@ -246,8 +246,22 @@ def main(argv=None) -> int:
         if args.mg_ckpt and os.path.exists(args.mg_ckpt):
             from mgpgcr_tpu.io.checkpoint import load_mg_setup
 
+            import dataclasses as _dc
+
             t0 = time.perf_counter()
             mgp = load_mg_setup(args.mg_ckpt, a_setup)
+            # the checkpoint persists the SETUP products (basis + coarse
+            # op); cycle knobs (smoother/coarse GCR) follow this run's
+            # flags, not the saving run's — smoother experiments reuse
+            # one expensive setup
+            mgp = _dc.replace(
+                mgp,
+                params=_dc.replace(
+                    mgp.params, smoother_gcr=smoother, coarse_gcr=coarse_gcr
+                ),
+            )
+            if smooth_op is not None:
+                mgp = _dc.replace(mgp, a_smooth=smooth_op)
             setup_s = time.perf_counter() - t0
             src = "checkpoint"
         else:

@@ -6,6 +6,8 @@ map — U_t negated on the t = T-1 slice (ops/wilson.py antiperiodic_t) —
 so every stencil path inherits the boundary phase with no kernel changes.
 """
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -149,6 +151,7 @@ def test_tpu_and_pallas_paths_inherit_bc():
     )
 
 
+@pytest.mark.slow
 def test_fused_one_pass_gcr_respects_bc():
     """The one-pass fused GCR step (ops/pallas/gcr_dslash.py) applies the
     anti-periodic sign in-kernel: the fused cycles solver on an

@@ -122,6 +122,7 @@ def test_parse_roundtrip(tmp_path):
     np.testing.assert_allclose(m.data, [1.0 + 0.5j, -2.0 + 0j])
 
 
+@pytest.mark.slow
 def test_solve_mg_cf_lattice():
     """--mg with the TPU representation (cf32 lattice problem): the MG setup
     must use the TPU field layout (advisor finding: it previously drew a
@@ -142,6 +143,7 @@ def test_solve_mg_cf_lattice():
 
 
 @pytest.mark.skipif(not os.path.exists(FIXTURE), reason="fixture unavailable")
+@pytest.mark.slow
 def test_solve_mg_cf_matrix():
     """--mg with cf64 flat fields on the ingested fixture matrix."""
     r = _run(

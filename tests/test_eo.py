@@ -135,6 +135,7 @@ def test_schur_operator_shape():
     assert s.shape == (mesh.size // 2, mesh.size // 2)
 
 
+@pytest.mark.slow
 def test_eo_mg_preconditioner_converges_faster():
     """MG built over the Schur operator (setup_eo_mg: half mesh, exact
     column-sweep Galerkin — S hops two sites so its coarse coupling is
@@ -172,6 +173,7 @@ def test_eo_mg_preconditioner_converges_faster():
     assert rel < 1e-8, rel
 
 
+@pytest.mark.slow
 def test_eo_sharded_gspmd_matches_single_device():
     """GSPMD-partitioned Schur solve (links + fields under a T/Z
     NamedSharding; XLA inserts the halo collectives) reproduces the

@@ -33,6 +33,7 @@ def _su3_maxdev(links) -> float:
 
 
 @pytest.mark.slow
+@pytest.mark.slow
 def test_hot_cold_starts_agree_at_beta6():
     links_h, hist_h = thermalized_links(
         0, MESH, beta=6.0, n_sweeps=40, n_or=2, dtype=jnp.complex128

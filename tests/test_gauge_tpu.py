@@ -54,6 +54,7 @@ def test_plaquette_matches_complex():
     assert abs(p_c - p_cf) < 1e-12
 
 
+@pytest.mark.slow
 def test_full_sweep_matches_complex_in_f64():
     """Same key, same hot start: the CF sweep IS the complex sweep —
     heat-bath draws, overrelaxation reflections and re-unitarisation all
@@ -68,6 +69,7 @@ def test_full_sweep_matches_complex_in_f64():
     np.testing.assert_allclose(out_cf, out_c, atol=1e-10)
 
 
+@pytest.mark.slow
 def test_f32_sweeps_stay_su3_and_heat_toward_equilibrium():
     mesh = LatticeMesh(DIMS)
     links, hist = gauge_tpu.thermalized_links_cf(
@@ -81,6 +83,7 @@ def test_f32_sweeps_stay_su3_and_heat_toward_equilibrium():
     assert hist[-1] > 0.35
 
 
+@pytest.mark.slow
 def test_cold_start_first_sweep_plaquette_high():
     """From unit links at beta = 6 the plaquette stays near 1 after one
     sweep (equilibrium is approached from above ~0.59 < P < 1)."""

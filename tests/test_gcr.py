@@ -276,6 +276,7 @@ def test_gcr_left_precond_composes_with_right():
     assert np.linalg.norm(r) / np.linalg.norm(b) < 1e-8
 
 
+@pytest.mark.slow
 def test_eager_solver_matches_jitted():
     """gcr_solve_eager (host-orchestrated outer loop for problems whose
     whole-solve jit is too large to compile) reproduces gcr_solve."""

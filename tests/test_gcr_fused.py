@@ -78,6 +78,7 @@ def test_fused_independent_residual(problem):
     assert rel < 5e-10, rel
 
 
+@pytest.mark.slow
 def test_fused_mega_step_pallas_operator(problem):
     """The one-pass fused step (r-update + Dslash + beta dots in one
     kernel, ops/pallas/gcr_dslash.py) engages for the streaming Pallas
@@ -233,6 +234,7 @@ def test_z_step_anti_t_matches_operator():
 
 
 @pytest.mark.parametrize("unroll", ["loop", "cycles"])
+@pytest.mark.slow
 def test_fused_precond_z_step_trajectory(problem, unroll):
     """Preconditioned fused GCR on the streaming Pallas operator (both
     body forms engage gcr_z_step) reproduces the generic trajectory."""

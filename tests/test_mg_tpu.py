@@ -31,6 +31,7 @@ def tpu_problem():
     return mesh, a_cf, a_cx
 
 
+@pytest.mark.slow
 def test_setup_mg_tpu_layout_and_solve(tpu_problem):
     mesh, a_cf, a_cx = tpu_problem
     params = MGParams(block=2, n_nullvecs=3)
@@ -63,6 +64,7 @@ def test_setup_mg_tpu_layout_and_solve(tpu_problem):
     assert float(jnp.sqrt(cplx.abs2_sum(r) / cplx.abs2_sum(b))) < 5e-9
 
 
+@pytest.mark.slow
 def test_mg_tpu_bsr_coarse_format(tpu_problem):
     """coarse_format="bsr" on the TPU (CF) path: the block-ELL coarse
     operator must apply CF blocks (round-2 VERDICT: crashed from the CLI)
@@ -94,6 +96,7 @@ def test_mg_tpu_bsr_coarse_format(tpu_problem):
     assert float(jnp.sqrt(cplx.abs2_sum(r) / cplx.abs2_sum(b))) < 5e-8
 
 
+@pytest.mark.slow
 def test_mg_tpu_stencil_coarse_format(tpu_problem):
     """coarse_format="stencil": the Galerkin coarse operator served by
     the block-stencil SpMV (the ingested-matrix kernel family,
@@ -150,6 +153,7 @@ def test_tpu_and_flat_mg_build_same_coarse_space(tpu_problem):
     np.testing.assert_allclose(p_flat, p_tpu, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_mg_checkpoint_roundtrip(tpu_problem, tmp_path):
     """Setup products save/load to identical preconditioner action, both
     representations (SURVEY.md §5: checkpoint the expensive setup)."""
@@ -237,6 +241,7 @@ def test_three_level_mg(tpu_problem, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_bf16_smoother_operator(tpu_problem):
     """A cheaper (e.g. bf16-link) operator can drive the smoother while
     the outer residual stays exact — MG quality barely changes."""

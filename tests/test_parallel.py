@@ -12,6 +12,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.dist
+
 from mgpgcr_tpu import fields
 from mgpgcr_tpu.mesh import LatticeMesh
 from mgpgcr_tpu.ops.dirac import DiracOperator

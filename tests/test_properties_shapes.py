@@ -8,6 +8,7 @@ the merged-axis x masks and even T for the streaming kernel's scratch
 parity; the reference's lattices are all even, Mesh.h:237-298).
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -46,6 +47,7 @@ def test_field_layout_roundtrip(dims, seed):
 
 @given(dims=lattices, seed=st.integers(0, 2**16))
 @SET
+@pytest.mark.slow
 def test_tpu_stencil_matches_canonical_any_shape(dims, seed):
     """The TPU-layout stencil equals the canonical operator for any even
     lattice (exercises the merged-axis x masks and every shift width)."""
@@ -66,6 +68,7 @@ def test_tpu_stencil_matches_canonical_any_shape(dims, seed):
 
 @given(dims=lattices)
 @SET
+@pytest.mark.slow
 def test_shift_fwd_bwd_inverse(dims):
     """shift(+mu) o shift(-mu) is the identity in every direction."""
     mesh = LatticeMesh((*dims, 4, 3))

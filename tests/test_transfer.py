@@ -68,6 +68,7 @@ def test_bf16_basis_storage():
     assert _maxerr(ref_p, out_p) / scale_p < 3e-2
 
 
+@pytest.mark.slow
 def test_mg_preconditioner_pallas_route():
     """End-to-end MGPreconditioner apply: forced-pallas transfers must
     reproduce the XLA route (same coarse solve between them)."""
