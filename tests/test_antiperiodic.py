@@ -76,6 +76,7 @@ def test_gamma5_hermiticity_preserved():
     assert err < 1e-12
 
 
+@pytest.mark.slow
 def test_in_kernel_bc_composes_with_compression():
     """build(antiperiodic_t=True) keeps pristine SU(3) links and applies
     the boundary sign in-kernel, so two-row compression composes — the

@@ -162,6 +162,7 @@ def test_solve_mg_cf_matrix():
 
 
 @pytest.mark.skipif(not os.path.exists(FIXTURE), reason="fixture unavailable")
+@pytest.mark.slow
 def test_solve_matrix_detection_routes_to_stencil():
     """cf dtypes factorise the ingested fixture into links + projectors
     (ops/ingest.py) and solve on the streaming stencil kernels; the
@@ -266,6 +267,7 @@ def test_solve_mg_reference_config_of_record():
     assert out["converged"] and out["indep_relres"] < 1e-7
 
 
+@pytest.mark.slow
 def test_solve_eo_antiperiodic_solves_requested_system():
     """--eo + --antiperiodic: the Schur half-system must be built from
     links with the temporal boundary sign folded in, not the pristine
@@ -290,6 +292,7 @@ def test_solve_eo_antiperiodic_solves_requested_system():
     assert out["indep_relres"] < 1e-4
 
 
+@pytest.mark.slow
 def test_solve_eo_from_config_file_disables_compression(tmp_path):
     """eo: true in a config file (not argv) must disable two-row link
     compression exactly as --eo does (advisor r4 low finding: the merged
@@ -315,6 +318,7 @@ def test_solve_eo_from_config_file_disables_compression(tmp_path):
 
 
 @pytest.mark.skipif(not os.path.exists(FIXTURE), reason="fixture unavailable")
+@pytest.mark.slow
 def test_solve_eo_ingested_fixture():
     """--eo on the INGESTED reference matrix: the Wilson detection's
     spin-conjugated operator routes through the Schur solve (rhs rotated

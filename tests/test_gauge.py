@@ -51,6 +51,7 @@ def test_hot_cold_starts_agree_at_beta6():
     assert _su3_maxdev(links_c) < 1e-10
 
 
+@pytest.mark.slow
 def test_heatbath_orders_hot_start():
     """A few sweeps at strong coupling must raise the plaquette well
     above the Haar-random expectation <P> = 0 and keep links SU(3)."""

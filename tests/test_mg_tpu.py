@@ -198,6 +198,7 @@ def test_mg_checkpoint_roundtrip(tpu_problem, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_three_level_mg(tpu_problem, tmp_path):
     """n_level=3: recursive coarsening of the block lattice. The reference
     declares n_level but never implemented recursion (MG.h:29, 407)."""

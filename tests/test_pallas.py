@@ -56,6 +56,7 @@ def test_dslash_z_blocked():
     )
 
 
+@pytest.mark.slow
 def test_dslash_matches_canonical_operator():
     """Kernel output equals the canonical-layout reference stencil."""
     dims = (4, 4, 2, 4, 4, 3)
@@ -78,6 +79,7 @@ def test_pick_block_invariants():
         assert tb * zb * v <= max(32768, v)
 
 
+@pytest.mark.slow
 def test_bf16_links_accuracy():
     """bf16 link storage (preconditioner-side traffic optimization) stays
     within ~1e-2 relative of the f32 operator."""
@@ -113,6 +115,7 @@ def test_fused_dirac_apply():
     )
 
 
+@pytest.mark.slow
 def test_tmajor_build_and_layout_inference():
     """build() stores t-major links for streaming-eligible problems; both
     layouts produce identical results."""
