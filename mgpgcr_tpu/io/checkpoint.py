@@ -276,7 +276,23 @@ def load_mg_setup_sharded(path: str | os.PathLike, a):
         levels = meta.get("levels", [])
         if levels:
             built = []
-            fine_op = coarse
+            if meta["coarse_kind"] == "stencil_sharded":
+                # the deeper (replicated) hierarchy's fine operator is the
+                # REPLICATED twin of the shard-local stencil — same global
+                # blocks, row-major (bt,bz,by,bx) order
+                from mgpgcr_tpu.solvers.mg_dist import build_coarse_operator
+
+                gbm = geom.mesh.blocking(geom.block)
+                table = jnp.asarray(gbm.neighbor_table(), jnp.int32)
+                ne_c = blocks.shape[-1]
+                fine_op = build_coarse_operator(
+                    blocks.reshape(geom.nb, 9, ne_c, ne_c),
+                    table,
+                    "stencil",
+                    geom.bpd,
+                )
+            else:
+                fine_op = coarse
             for i, lv in enumerate(levels):
                 node, c = _load_level(z, f"l{i}_", lv, fine_op, None)
                 built.append(node)

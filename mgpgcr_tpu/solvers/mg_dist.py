@@ -366,8 +366,28 @@ class ShardedMGPreconditioner:
             # sharded coarse level: no all_gather, no redundant solve —
             # the coarse GCR runs on local block rows with psummed dots
             # and ppermute stencil halos
+            cp = None
+            if coarse_precond is not None:
+                # n_level > 2: deeper levels are replicated (coarse grids
+                # are small). Boundary = one coarse-DOF all_gather per
+                # preconditioner application — nb*ne values, orders of
+                # magnitude below the fine-level gather the sharded
+                # stencil design eliminated
+                ne_c = coarse.ne
+
+                def cp(rc_p):
+                    blocked = rc_p.reshape(
+                        g.bpd_loc[0], g.bpd_loc[1], g.byx, ne_c
+                    )
+                    rep = g.gather_blocked(blocked).reshape(g.nb * ne_c)
+                    ec_rep = coarse_precond.apply(rep)
+                    return g.local_coarse_slice(
+                        ec_rep.reshape(g.bpd[0], g.bpd[1], g.byx, ne_c)
+                    ).reshape(g.nb_loc * ne_c)
+
             ec_loc = gcr_solve(
-                coarse, rc, self.params.coarse_gcr, axis_names=g.names
+                coarse, rc, self.params.coarse_gcr, axis_names=g.names,
+                precond=cp,
             ).x
         else:
             rc5 = rc.reshape(g.bpd_loc[0], g.bpd_loc[1], g.byx, ne)
@@ -523,11 +543,6 @@ def setup_mg_sharded(
     # distributes: sharded coarse solve, no per-V-cycle all_gather);
     # other formats gather to a replicated coarse operator --
     coarse_sharded = params.coarse_format == "stencil"
-    if coarse_sharded and params.n_level > 2:
-        raise ValueError(
-            "sharded stencil coarse level is two-level only (deeper "
-            "hierarchies need the replicated coarse grid)"
-        )
 
     def _galerkin_local(links, kk, q5_loc):
         a_loc = _local_operator(d, links, kk)
@@ -562,19 +577,35 @@ def setup_mg_sharded(
             blocks, table, params.coarse_format, geom.bpd
         )
 
-    # -- deeper levels: the coarse grid is replicated, so the regular
-    # single-device setup builds the rest of the hierarchy on it --
+    # -- deeper levels: replicated (coarse grids are small), so the
+    # regular single-device setup builds the rest of the hierarchy. For
+    # the sharded stencil coarse, the SAME global blocks array (the
+    # shard-local rows viewed globally, row-major (bt,bz,by,bx) order)
+    # backs a replicated operator used ONLY by levels >= 3; level 2's
+    # solve stays fully sharded and applies the deeper correction through
+    # a coarse-DOF gather/slice (see _coarse_correct) --
     coarse_precond = None
     if params.n_level > 2:
         cb = params.coarse_block
         if all(dd % cb == 0 and dd >= cb for dd in geom.bpd) and (
             cb**4 * ne >= ne
         ):
+            if coarse_sharded:
+                gbm = geom.mesh.blocking(geom.block)
+                table = jnp.asarray(gbm.neighbor_table(), jnp.int32)
+                deeper_fine = build_coarse_operator(
+                    blocks.reshape(geom.nb, 9, ne, ne),
+                    table,
+                    "stencil",
+                    geom.bpd,
+                )
+            else:
+                deeper_fine = coarse
             coarse_mesh = LatticeMesh((*geom.bpd, ne), n_spacetime=4)
             key, sub = jax.random.split(key)
             coarse_precond = setup_mg(
                 sub,
-                coarse,
+                deeper_fine,
                 coarse_mesh,
                 params,
                 layout="flat",
