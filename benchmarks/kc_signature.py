@@ -97,6 +97,10 @@ def parse_args(argv=None):
                     "doubled), main.cpp:853")
     ap.add_argument("--coarse-format", default="dense",
                     choices=["dense", "bsr", "stencil"])
+    ap.add_argument("--coarse-max-iter", type=int,
+                    help="coarse GCR cap (default 50; 25 measured "
+                    "wall-clock-optimal at 32^4 block 4 — "
+                    "docs/EXPERIMENTS.md V-cycle cost anatomy)")
     ap.add_argument("--transfer-dtype", default=None)
     ap.add_argument("--no-smoother", action="store_true",
                     help="deflation-only V-cycle (default: smoothed — the "
@@ -176,10 +180,16 @@ def main(argv=None) -> int:
     mgp = None
     if not args.skip_mg:
         setup_k = args.setup_k if args.setup_k is not None else kc
+        coarse_gcr = MGParams().coarse_gcr
+        if args.coarse_max_iter is not None:
+            coarse_gcr = dataclasses.replace(
+                coarse_gcr, max_iter=args.coarse_max_iter
+            )
         mgparams = MGParams(
             block=args.block,
             n_nullvecs=args.nullvecs,
             smoother_gcr=None if args.no_smoother else MGParams().smoother_gcr,
+            coarse_gcr=coarse_gcr,
             coarse_format=args.coarse_format,
             transfer_dtype=args.transfer_dtype,
         )
@@ -187,6 +197,15 @@ def main(argv=None) -> int:
             from mgpgcr_tpu.io.checkpoint import load_mg_setup
 
             mgp = load_mg_setup(args.mg_ckpt, a_lo_at(setup_k))
+            # cycle knobs follow this run's flags, not the saving run's
+            mgp = dataclasses.replace(
+                mgp,
+                params=dataclasses.replace(
+                    mgp.params,
+                    coarse_gcr=mgparams.coarse_gcr,
+                    smoother_gcr=mgparams.smoother_gcr,
+                ),
+            )
             src, setup_s = "checkpoint", 0.0
         else:
             t0 = time.time()
