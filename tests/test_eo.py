@@ -205,6 +205,7 @@ def test_eo_sharded_gspmd_matches_single_device():
     )
 
 
+@pytest.mark.slow
 def test_from_dirac_antiperiodic_solves_requested_system():
     """from_dirac on a streaming Pallas operator with the in-kernel
     anti-periodic BC (anti_t=True, pristine stored links) must fold the

@@ -52,6 +52,7 @@ def test_fused_matches_generic(problem, params):
     )
 
 
+@pytest.mark.slow
 def test_fused_with_preconditioner(problem):
     a, rhs = problem
     params = GCRParams(tol=1e-8, max_iter=50, restart=5)
@@ -68,6 +69,7 @@ def test_fused_with_preconditioner(problem):
     )
 
 
+@pytest.mark.slow
 def test_fused_independent_residual(problem):
     """The fused solver's bookkeeping matches a from-scratch residual."""
     a, rhs = problem
@@ -106,6 +108,7 @@ def test_fused_mega_step_pallas_operator(problem):
     assert rel < 5e-9, rel
 
 
+@pytest.mark.slow
 def test_mega_step_kernel_matches_composition(problem):
     """gcr_stream_step == update_r + A-apply + beta_dots, directly."""
     from mgpgcr_tpu.ops.pallas import gcr_kernels as gk
@@ -165,6 +168,7 @@ def test_mega_step_kernel_matches_composition(problem):
         )
 
 
+@pytest.mark.slow
 def test_z_step_kernel_matches_composition(problem):
     """gcr_z_step (preconditioned one-pass: Dslash on z + beta dots +
     alpha-numerator dots) == A-apply + beta_dots + explicit vdots."""
