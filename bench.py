@@ -157,8 +157,15 @@ def _stats(samples: list[float]) -> dict:
     s = sorted(samples)
     n = len(s)
     med = s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
+    # min-across-rounds assumes the only noise is SLOWDOWN (throttling);
+    # a sample far BELOW the median is a chain-difference timing glitch
+    # (observed once on throttle recovery: a 21%-fast outlier), not a
+    # faster kernel — clamp such outliers out of the min
+    floor = 0.85 * med
+    s_valid = [x for x in s if x >= floor] or s
     return {
-        "min": s[0],
+        "min": s_valid[0],
+        "raw_min": s[0],
         "median": med,
         "max": s[-1],
         "rel_spread": (s[-1] - s[0]) / med if med else 0.0,
