@@ -65,6 +65,13 @@ def parse_args(argv=None):
                     help="GCR smoother iterations per pre/post smooth "
                     "(default: MGParams default, 4); the smoother's Dslash "
                     "passes dominate the V-cycle at scale")
+    ap.add_argument("--smoother-alg", choices=["gcr", "neumann"],
+                    default="gcr",
+                    help="neumann: truncated hopping expansion "
+                    "x += sum (kD)^i r — one fused Dslash per term, no "
+                    "dots/stacks (params.smoother)")
+    ap.add_argument("--smoother-terms", type=int, default=4,
+                    help="Neumann series length")
     ap.add_argument("--smoother-trunc", type=int,
                     help="smoother GCR truncation (stored directions). "
                     "1 = minimal-residual smoothing: no direction stack "
@@ -232,6 +239,8 @@ def main(argv=None) -> int:
             block=args.block,
             n_nullvecs=args.nullvecs,
             smoother_gcr=smoother,
+            smoother=args.smoother_alg,
+            smoother_terms=args.smoother_terms,
             coarse_gcr=coarse_gcr,
             coarse_format=args.coarse_format,
             transfer_dtype=args.transfer_dtype,
@@ -257,7 +266,9 @@ def main(argv=None) -> int:
             mgp = _dc.replace(
                 mgp,
                 params=_dc.replace(
-                    mgp.params, smoother_gcr=smoother, coarse_gcr=coarse_gcr
+                    mgp.params, smoother_gcr=smoother, coarse_gcr=coarse_gcr,
+                    smoother=args.smoother_alg,
+                    smoother_terms=args.smoother_terms,
                 ),
             )
             if smooth_op is not None:

@@ -209,9 +209,35 @@ class MGPreconditioner(LinearOperator):
             )
         return out if base is None else base + out
 
+    def _neumann_smooth(self, a, rhs, x, x_is_zero: bool):
+        """x + sum_{i<terms} (kD)^i r: the truncated hopping expansion of
+        A^{-1} r applied to the current residual — (kD) t = t - A t, so
+        each extra term costs exactly one fused operator pass. No dots,
+        no direction stacks (params.smoother="neumann")."""
+        r = rhs if x_is_zero else rhs - a.apply(x)
+        acc = r
+        t = r
+        for _ in range(self.params.smoother_terms - 1):
+            t = t - a.apply(t)  # t <- kD t
+            acc = acc + t
+        return acc if x_is_zero else x + acc
+
+    @property
+    def _has_smoother(self) -> bool:
+        if self.params.smoother == "neumann":
+            return True
+        return self.params.smoother_gcr is not None
+
     def _smooth(self, rhs, x, n: int, x_is_zero: bool = False):
+        if n == 0:
+            return x
+        if self.params.smoother == "neumann":
+            a = self.a_smooth if self.a_smooth is not None else self.a
+            for i in range(n):
+                x = self._neumann_smooth(a, rhs, x, x_is_zero and i == 0)
+            return x
         sp = self.params.smoother_gcr
-        if sp is None or n == 0:
+        if sp is None:
             return x
         a = self.a_smooth if self.a_smooth is not None else self.a
         for i in range(n):
@@ -242,10 +268,10 @@ class MGPreconditioner(LinearOperator):
                 ec, base=base, damping=self.params.correction_damping
             )
 
-        if self.params.smoother_gcr is None:
+        if not self._has_smoother:
             return coarse_correct(r, r)
         x = cplx.zeros_like(r)
-        x = self._smooth(r, x, self.params.n_pre_smooth)
+        x = self._smooth(r, x, self.params.n_pre_smooth, x_is_zero=True)
         x = coarse_correct(r - self.a.apply(x), x)
         x = self._smooth(r, x, self.params.n_post_smooth)
         return x

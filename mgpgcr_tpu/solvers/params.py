@@ -95,6 +95,15 @@ class MGParams:
     )
     n_pre_smooth: int = 1
     n_post_smooth: int = 1
+    # Smoother algorithm: "gcr" runs smoother_gcr as an inner solve
+    # (adaptive, needs direction stacks + dots); "neumann" applies the
+    # truncated hopping expansion x += sum_{i<terms} (kD)^i r — each term
+    # is ONE fused Dslash pass ((kD)t = t - A t) with no reductions and
+    # no stack traffic, the cheapest smoother the streaming kernel can
+    # express. High-mode damping only (the series diverges on near-null
+    # modes at k ~ k_c — exactly the components the coarse level owns).
+    smoother: str = "gcr"
+    smoother_terms: int = 4  # Neumann series length (incl. the i=0 term)
     coarse_format: str = "dense"  # "dense" (MXU matvec), "bsr" (block-ELL
     # batched einsum), or "stencil" (fused Pallas block-stencil SpMV over
     # the block lattice — for large coarse grids; phased assembly only)

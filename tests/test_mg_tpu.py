@@ -269,3 +269,36 @@ def test_bf16_smoother_operator(tpu_problem):
     assert bool(res.converged)
     r = b - a_cf.apply(res.x)
     assert float(jnp.sqrt(cplx.abs2_sum(r) / cplx.abs2_sum(b))) < 5e-8
+
+
+def test_neumann_smoother_converges_and_beats_deflation_only():
+    """smoother="neumann" (truncated hopping expansion, one fused Dslash
+    per term, no dots/stacks): the V-cycle must stay a convergent
+    preconditioner and accelerate the outer GCR vs deflation-only."""
+    import dataclasses
+
+    from mgpgcr_tpu.ops.wilson import random_links_cf
+    from mgpgcr_tpu.ops.wilson_tpu import TpuWilsonDirac
+
+    mesh = LatticeMesh((8, 8, 4, 4, 4, 3))
+    links = random_links_cf(0, mesh, jnp.float32)
+    d = TpuWilsonDirac.build(links, mesh)
+    a = DiracOperator(d, cplx.from_scalar(0.2, jnp.float32))
+    rhs = cplx.random(jax.random.PRNGKey(5), d.field_shape, jnp.float32)
+    base = MGParams(block=2, n_nullvecs=2, smoother="neumann",
+                    smoother_terms=4)
+    mgp = setup_mg(jax.random.PRNGKey(3), a, mesh, base, layout="tpu")
+    gp = GCRParams(tol=1e-5, max_iter=200, restart=8)
+    res = gcr_solve(a, rhs, gp, precond=mgp.apply)
+    assert bool(res.converged)
+    r = rhs - a.apply(res.x)
+    rel = float(jnp.sqrt(cplx.abs2_sum(r) / cplx.abs2_sum(rhs)))
+    assert rel < 1e-4, rel
+
+    # deflation-only on the same hierarchy (smoother off entirely)
+    mgp0 = dataclasses.replace(
+        mgp, params=dataclasses.replace(base, smoother="gcr",
+                                        smoother_gcr=None)
+    )
+    res0 = gcr_solve(a, rhs, gp, precond=mgp0.apply)
+    assert int(res.n_iters) < int(res0.n_iters)
