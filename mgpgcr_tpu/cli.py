@@ -505,7 +505,9 @@ def _config_from_args(args):
             cg = dataclasses.replace(cg, restart=args.coarse_restart, truncation=0)
         mg = dataclasses.replace(mg, coarse_gcr=cg)
         # smoother: --no-smoother reproduces the reference's smoother-off
-        # config (additive coarse deflation); --smoother-iters N sizes it
+        # config (additive coarse deflation); --smoother-iters N sizes the
+        # GCR smoother; --smoother-alg neumann switches to the dot-free
+        # hopping expansion (one fused Dslash per term)
         if getattr(args, "no_smoother", False):
             mg = dataclasses.replace(mg, smoother_gcr=None)
         elif getattr(args, "smoother_iters", None):
@@ -517,6 +519,10 @@ def _config_from_args(args):
                     truncation=min(args.smoother_iters, 4),
                 ),
             )
+        if getattr(args, "smoother_alg", None):
+            mg = dataclasses.replace(mg, smoother=args.smoother_alg)
+        if getattr(args, "smoother_terms", None):
+            mg = dataclasses.replace(mg, smoother_terms=args.smoother_terms)
     return dataclasses.replace(
         cfg,
         problem=pc,
@@ -618,6 +624,16 @@ def _add_common(p):
     p.add_argument(
         "--smoother-iters", dest="smoother_iters", type=int,
         help="GCR smoother iterations per pre/post pass",
+    )
+    p.add_argument(
+        "--smoother-alg", dest="smoother_alg", choices=["gcr", "neumann"],
+        help="neumann: truncated hopping expansion x += sum (kD)^i r — "
+        "dot/stack-free, one fused Dslash per term (28 vs 42 ms/iter at "
+        "32^4 but ~2x the outer iterations; docs/EXPERIMENTS.md)",
+    )
+    p.add_argument(
+        "--smoother-terms", dest="smoother_terms", type=int,
+        help="Neumann series length (default 4)",
     )
     p.add_argument(
         "--damping", type=float,
